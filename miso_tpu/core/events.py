@@ -1,0 +1,234 @@
+"""Event compiler: (gene, aligned reads) -> device-ready dense tensors.
+
+The TPU-native analogue of the per-gene setup code in
+pysplicing/src/miso.c:748-815 (match matrix, effective lengths, isoscores)
+and miso_paired.c:367-419 (fragment pmf, per-fragment-length isoscores,
+assscores), plus read-class collapse so the device tensors are
+(classes x isoforms) regardless of read depth.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from miso_tpu.core.fragments import normal_fragment
+from miso_tpu.core.gene import Gene
+from miso_tpu.core.matching import (ReadClasses, collapse_to_classes,
+                                    match_iso, match_iso_paired)
+
+NEG_INF = -np.inf
+
+
+@dataclasses.dataclass
+class CompiledEvent:
+    """One event's device tensors plus output-layer metadata."""
+
+    name: str
+    gene: Gene
+    num_iso: int
+    num_reads: int            # reads (single-end) or pairs (paired-end)
+    weights: np.ndarray       # (C, I)
+    log_read: np.ndarray      # (C, I)
+    counts: np.ndarray        # (C,)
+    log_iso_w: np.ndarray     # (I,)
+    hyper: np.ndarray         # (I,)
+    classes: ReadClasses
+    paired: bool = False
+    any_compatible: bool = True
+
+    @property
+    def num_classes(self) -> int:
+        return len(self.counts)
+
+    def counts_str(self) -> str:
+        """The ``counts=`` header field: class templates (as int tuples)
+        with read counts.  Ref: misopy/miso_sampler.py:404-422."""
+        items = []
+        for c in range(self.num_classes):
+            tmpl = tuple(int(v) for v in self.classes.templates[:, c])
+            items.append("%s:%d" % (str(tmpl).replace(" ", ""),
+                                    int(self.counts[c])))
+        return ",".join(items)
+
+
+def effective_lengths(
+    gene: Gene, read_len: int, overhang: int
+) -> Tuple[np.ndarray, np.ndarray]:
+    """(clamped_efflen, raw_efflen): effective isoform lengths.
+
+    l_i = isolen_i - readLen + 1 - 2*(numExons_i - 1)*(overhang - 1),
+    clamped at 0 (raw value kept for the isoscores term).
+    Ref: pysplicing/src/miso.c:777-784.
+    """
+    isolen = gene.iso_lengths
+    nox = gene.iso_num_exons_all
+    raw = isolen - read_len + 1 - 2 * (nox - 1) * (overhang - 1)
+    return np.maximum(raw, 0), raw
+
+
+def compile_single_end(
+    gene: Gene,
+    positions: np.ndarray,
+    cigars: Sequence[str],
+    read_len: int,
+    overhang: int = 1,
+    hyper: Optional[np.ndarray] = None,
+    name: str = "event",
+    algorithm: str = "reassign",
+) -> CompiledEvent:
+    """Compile a single-end event.  Ref: pysplicing/src/miso.c:748-815."""
+    if overhang == 0:
+        overhang = 1
+    noiso = gene.num_isoforms
+    match = match_iso(gene, positions, cigars, read_len, overhang)
+    classes = collapse_to_classes(match)
+
+    efflen, raw = effective_lengths(gene, read_len, overhang)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # isoscores_i = -log(raw_i); reference computes -log of the raw
+        # (possibly <= 0) value (miso.c:783); we map non-positive to -inf.
+        isoscores = np.where(raw > 0, -np.log(np.maximum(raw, 1e-300)), NEG_INF)
+        log_iso_w = np.where(efflen > 0, np.log(np.maximum(efflen, 1)), NEG_INF)
+
+    templates = classes.templates  # (I, C)
+    weights = templates.T.astype(np.float64).copy()  # (C, I)
+    if algorithm == "marginal":
+        # match probabilities divided by effective length (miso.c:807-815)
+        div = np.where(efflen != 0, efflen, 1).astype(np.float64)
+        weights = weights / div[None, :]
+    log_read = np.where(templates.T > 0, isoscores[None, :], 0.0)
+    log_read = np.where(np.isfinite(log_read), log_read, 0.0)
+
+    if hyper is None:
+        hyper = np.ones(noiso)
+    return CompiledEvent(
+        name=name, gene=gene, num_iso=noiso, num_reads=len(positions),
+        weights=weights, log_read=log_read,
+        counts=classes.counts.astype(np.float64),
+        log_iso_w=log_iso_w, hyper=np.asarray(hyper, dtype=np.float64),
+        classes=classes, paired=False,
+        any_compatible=bool((match > 0).any()),
+    )
+
+
+def compile_paired_end(
+    gene: Gene,
+    positions: np.ndarray,
+    cigars: Sequence[str],
+    read_len: int,
+    mean_frag_len: float,
+    frag_variance: float,
+    num_sds: float = 4.0,
+    overhang: int = 1,
+    frag_prob: Optional[np.ndarray] = None,
+    frag_start: Optional[int] = None,
+    hyper: Optional[np.ndarray] = None,
+    name: str = "event",
+) -> CompiledEvent:
+    """Compile a paired-end event.  Ref: pysplicing/src/miso_paired.c:241-419.
+
+    Mates must be consecutive (2r, 2r+1) in positions/cigars.
+    """
+    if overhang == 0:
+        overhang = 1
+    noiso = gene.num_isoforms
+    if frag_prob is None:
+        frag_prob, frag_start = normal_fragment(
+            mean_frag_len, frag_variance, num_sds, read_len)
+    frag_prob = np.asarray(frag_prob, dtype=np.float64)
+    frag_prob = frag_prob / frag_prob.sum()
+    il = len(frag_prob)
+
+    match, frag_len = match_iso_paired(
+        gene, positions, cigars, read_len, overhang, frag_prob, frag_start)
+    classes = collapse_to_classes(match, frag_len)
+
+    isolen = gene.iso_lengths
+    nox = gene.iso_num_exons_all
+    # lp[j, i] = isolen_i - fragStart - j + 1 - 2*(nox_i-1)*(overhang-1)
+    j = np.arange(il)[:, None]
+    lp = isolen[None, :] - frag_start - j + 1 - 2 * (nox[None, :] - 1) * (overhang - 1)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        # per-(fragLen, iso) read score. The reference adds the linear
+        # fragment probability (miso_paired.c:403-411); we use the correct
+        # log probability -- see sampler/model.py module docstring.
+        isoscores = np.where(
+            lp > 0, -np.log(np.maximum(lp, 1e-300)), NEG_INF
+        ) + np.log(frag_prob[:, None])
+        assscores = np.log(np.sum(np.where(lp > 0, lp, 0), axis=0))
+
+    templates = classes.templates.T  # (C, I) fragment-length probabilities
+    fl = classes.frag_len.T          # (C, I)
+    valid = fl >= 0
+    fl_idx = np.clip(fl - frag_start, 0, il - 1)
+    log_read = np.where(valid, isoscores[fl_idx, np.arange(noiso)[None, :]], 0.0)
+    log_read = np.where(np.isfinite(log_read), log_read, 0.0)
+
+    if hyper is None:
+        hyper = np.ones(noiso)
+    return CompiledEvent(
+        name=name, gene=gene, num_iso=noiso, num_reads=len(positions) // 2,
+        weights=templates.astype(np.float64), log_read=log_read,
+        counts=classes.counts.astype(np.float64),
+        log_iso_w=assscores, hyper=np.asarray(hyper, dtype=np.float64),
+        classes=classes, paired=True,
+        any_compatible=bool((match > 0).any()),
+    )
+
+
+# --------------------------------------------------------------------------
+# Padding / batching
+# --------------------------------------------------------------------------
+
+def _round_up(x: int, candidates=(2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> int:
+    for c in candidates:
+        if x <= c:
+            return c
+    return int(2 ** np.ceil(np.log2(max(x, 1))))
+
+
+def pad_events(
+    events: List[CompiledEvent],
+    pad_iso: Optional[int] = None,
+    pad_classes: Optional[int] = None,
+    dtype=np.float32,
+):
+    """Pad a list of compiled events to common (C, I) and stack.
+
+    Returns dict of numpy arrays matching sampler.mcmc.EventBatch fields.
+    Padded classes have counts 0; padded isoforms have log_iso_w = -inf and
+    are excluded by the sampler's masks.
+    """
+    E = len(events)
+    I = pad_iso or _round_up(max(ev.num_iso for ev in events))
+    C = pad_classes or _round_up(max(max(ev.num_classes, 1) for ev in events))
+    weights = np.zeros((E, C, I), dtype)
+    log_read = np.zeros((E, C, I), dtype)
+    counts = np.zeros((E, C), dtype)
+    log_iso_w = np.full((E, I), NEG_INF, dtype)
+    hyper = np.ones((E, I), dtype)
+    num_iso = np.zeros((E,), np.int32)
+    for e, ev in enumerate(events):
+        k, c = ev.num_iso, ev.num_classes
+        weights[e, :c, :k] = ev.weights
+        log_read[e, :c, :k] = ev.log_read
+        counts[e, :c] = ev.counts
+        log_iso_w[e, :k] = ev.log_iso_w
+        hyper[e, :k] = ev.hyper
+        num_iso[e] = k
+    return dict(weights=weights, log_read=log_read, counts=counts,
+                log_iso_w=log_iso_w, hyper=hyper, num_iso=num_iso)
+
+
+def bucket_events(
+    events: List[CompiledEvent],
+) -> List[Tuple[Tuple[int, int], List[int]]]:
+    """Group event indices into (pad_iso, pad_classes) shape buckets, so
+    jit recompiles only once per bucket shape."""
+    buckets: dict = {}
+    for idx, ev in enumerate(events):
+        key = (_round_up(ev.num_iso), _round_up(max(ev.num_classes, 1)))
+        buckets.setdefault(key, []).append(idx)
+    return sorted(buckets.items())

@@ -1,0 +1,257 @@
+"""Batched Metropolis-Hastings-within-Gibbs MISO sampler.
+
+TPU-native redesign of pysplicing/src/miso.c:638-986 (single-end) and
+miso_paired.c:241-574 (paired-end):
+
+- The reference advances 6 chains of ONE gene per process; here a single
+  jitted program advances (events x chains) chains in lockstep via
+  jax.vmap, with lax.scan over iterations.
+- The per-read Gibbs reassignment loop (miso.c:30-91) becomes per-class
+  multinomial draws (see sampler/model.py:gibbs_reassign) -- statistically
+  identical, and the device tensors are (classes x isoforms), independent
+  of read count.
+- Burn-in / lag thinning (miso.c:882-893) is expressed as a two-level scan:
+  an outer scan over retained records, an inner scan over `lag` iterations,
+  so sample buffers are written without scatter ops.
+
+Sample layout parity: the returned psi_samples flatten to
+(num_records * chains) in record-major order, matching the reference's
+interleaved samples matrix (miso.c:884: all chains recorded per retained
+iteration, consecutively).
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from miso_tpu.sampler import model
+from miso_tpu.sampler.model import EventMasks
+
+
+class EventBatch(NamedTuple):
+    """A device-ready batch of E events padded to (C classes, I isoforms).
+
+    weights:   (E, C, I) Gibbs/marginal class weights.  Single-end REASSIGN:
+               {0,1} compatibility; paired: fragment-length probability;
+               MARGINAL: compatibility / effective length (miso.c:807-815).
+    log_read:  (E, C, I) per-read log score when a class-c read is assigned
+               to isoform i (miso.c:777-784 isoscores; miso_paired.c:403-414
+               isoscores[fragLen, iso]).  0 where incompatible.
+    counts:    (E, C) reads per class.
+    log_iso_w: (E, I) log effective length (single-end) or assscores
+               (paired); -inf on padded/zero-length isoforms.
+    hyper:     (E, I) Dirichlet prior parameters.
+    num_iso:   (E,) real isoform count per event.
+    """
+
+    weights: jnp.ndarray
+    log_read: jnp.ndarray
+    counts: jnp.ndarray
+    log_iso_w: jnp.ndarray
+    hyper: jnp.ndarray
+    num_iso: jnp.ndarray
+
+    @property
+    def num_events(self) -> int:
+        return self.weights.shape[0]
+
+    @property
+    def max_classes(self) -> int:
+        return self.weights.shape[1]
+
+    @property
+    def max_iso(self) -> int:
+        return self.weights.shape[2]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplerConfig:
+    """Static sampler configuration (reference defaults:
+    misopy/settings/miso_settings.txt burn_in=500 lag=10 num_iters=5000
+    num_chains=6)."""
+
+    iters: int = 5000
+    burn_in: int = 500
+    lag: int = 10
+    chains: int = 6
+    algorithm: str = "reassign"  # 'reassign' | 'marginal'
+    dtype: str = "float32"
+
+    @property
+    def num_records(self) -> int:
+        return (self.iters - self.burn_in) // self.lag
+
+    @property
+    def num_samples(self) -> int:
+        return self.num_records * self.chains
+
+
+class SamplerResult(NamedTuple):
+    psi_samples: jnp.ndarray   # (E, R, K, I): record-major, chains interleaved
+    loglik: jnp.ndarray        # (E, R, K)
+    accepted: jnp.ndarray      # (E,) total accepted proposals (incl. burn-in)
+    rejected: jnp.ndarray      # (E,)
+    final_n: jnp.ndarray       # (E, K, I) final per-isoform assignment counts
+    final_psi: jnp.ndarray     # (E, K, I)
+
+    def flat_samples(self):
+        """(E, R*K, I) in the reference's interleaved sample order."""
+        E, R, K, I = self.psi_samples.shape
+        return self.psi_samples.reshape(E, R * K, I)
+
+    def flat_loglik(self):
+        E, R, K = self.loglik.shape
+        return self.loglik.reshape(E, R * K)
+
+
+class _ChainState(NamedTuple):
+    key: jnp.ndarray
+    alpha: jnp.ndarray       # (I-1,)
+    psi: jnp.ndarray         # (I,)
+    n: jnp.ndarray           # (I,) per-isoform assignment counts
+    read_prob: jnp.ndarray   # () sum of per-read log scores
+    cjs: jnp.ndarray         # () current joint score (post-acceptance)
+    m: jnp.ndarray           # () iteration counter
+    accepted: jnp.ndarray    # () int32
+
+
+def _joint_score(psi, st_n, read_prob, ev, masks, algorithm):
+    """splicing_score_joint (miso.c:243-307) for the current assignment."""
+    psi_prob = model.ldirichlet(psi, ev.hyper, masks)
+    if algorithm == "reassign":
+        ass_prob = model.score_assignments(psi, st_n, ev.log_iso_w, masks)
+        return read_prob + ass_prob + psi_prob
+    else:  # marginal: read term depends on psi directly; no assignment term
+        return model.score_marginal(psi, ev.weights, ev.counts) + psi_prob
+
+
+def _make_step(ev, masks: EventMasks, algorithm: str):
+    """One MH(+Gibbs) iteration for a single (event, chain).
+    Ref: the hot loop pysplicing/src/miso.c:845-900."""
+
+    def step(st: _ChainState, _):
+        key, ke, ku, kg = jax.random.split(st.key, 4)
+        eps = jax.random.normal(ke, st.alpha.shape, st.alpha.dtype)
+        alpha_new, psi_new = model.propose(st.alpha, eps, masks)
+
+        cjs = _joint_score(st.psi, st.n, st.read_prob, ev, masks, algorithm)
+        pjs = _joint_score(psi_new, st.n, st.read_prob, ev, masks, algorithm)
+        # proposal correction terms (miso.c:531-545); skipped on iteration 0
+        pto_c = model.proposal_logpdf(st.psi, alpha_new, masks)
+        cto_p = model.proposal_logpdf(psi_new, st.alpha, masks)
+        full = (st.m > 0).astype(cjs.dtype)
+        logr = (pjs - cjs) + full * (pto_c - cto_p)
+
+        u = jax.random.uniform(ku, (), cjs.dtype)
+        accept = (logr >= 0) | (jnp.log(u) < logr)
+        psi = jnp.where(accept, psi_new, st.psi)
+        alpha = jnp.where(accept, alpha_new, st.alpha)
+        cjs_after = jnp.where(accept, pjs, cjs)
+
+        if algorithm == "reassign":
+            draws = model.gibbs_reassign(kg, psi, ev.weights, ev.counts, masks)
+            n = jnp.sum(draws, axis=0)
+            read_prob = jnp.sum(draws * ev.log_read)
+        else:
+            n = st.n
+            read_prob = st.read_prob
+
+        return _ChainState(
+            key=key, alpha=alpha, psi=psi, n=n, read_prob=read_prob,
+            cjs=cjs_after, m=st.m + 1,
+            accepted=st.accepted + accept.astype(jnp.int32),
+        ), None
+
+    return step
+
+
+def _init_state(key, ev, masks: EventMasks, algorithm: str, dtype):
+    """Chain init: AUTO start (miso.c:348-371) followed by one proposal
+    (miso.c:834, which overwrites both alpha and psi), then the initial
+    Gibbs assignment (miso.c:840-843)."""
+    I = ev.log_iso_w.shape[0]
+    kf = (masks.k - 1).astype(dtype)
+    # AUTO: alpha = 1/(k-1) for k != 2, else 0 (miso.c:356-367)
+    alpha0 = jnp.where(
+        masks.amask,
+        jnp.where(masks.k == 2, 0.0, 1.0 / jnp.maximum(kf, 1.0)),
+        0.0,
+    ).astype(dtype)
+    key, kp, kg = jax.random.split(key, 3)
+    eps = jax.random.normal(kp, (I - 1,), dtype)
+    alpha, psi = model.propose(alpha0, eps, masks)
+    if algorithm == "reassign":
+        draws = model.gibbs_reassign(kg, psi, ev.weights, ev.counts, masks)
+        n = jnp.sum(draws, axis=0)
+        read_prob = jnp.sum(draws * ev.log_read)
+    else:
+        n = jnp.zeros((I,), dtype)
+        read_prob = jnp.zeros((), dtype)
+    return _ChainState(
+        key=key, alpha=alpha, psi=psi, n=n, read_prob=read_prob,
+        cjs=jnp.zeros((), dtype), m=jnp.zeros((), jnp.int32),
+        accepted=jnp.zeros((), jnp.int32),
+    )
+
+
+def _run_chain(key, ev, num_iso, cfg: SamplerConfig):
+    """Full sampler for one (event, chain). Returns records + final state."""
+    dtype = jnp.dtype(cfg.dtype)
+    masks = model.make_masks(num_iso, ev.log_iso_w.shape[0])
+    step = _make_step(ev, masks, cfg.algorithm)
+    st = _init_state(key, ev, masks, cfg.algorithm, dtype)
+
+    if cfg.burn_in > 0:
+        st, _ = jax.lax.scan(step, st, None, length=cfg.burn_in)
+
+    def record_block(st, _):
+        st, _ = jax.lax.scan(step, st, None, length=cfg.lag)
+        return st, (st.psi, st.cjs)
+
+    st, (psis, logliks) = jax.lax.scan(
+        record_block, st, None, length=cfg.num_records)
+
+    remainder = cfg.iters - cfg.burn_in - cfg.num_records * cfg.lag
+    if remainder > 0:
+        st, _ = jax.lax.scan(step, st, None, length=remainder)
+
+    return psis, logliks, st
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def run_batch(key: jnp.ndarray, events: EventBatch,
+              cfg: SamplerConfig) -> SamplerResult:
+    """Run the sampler over a padded batch of events.
+
+    vmap layout: chains innermost, events outermost, so per-event tensors
+    are broadcast across chains without replication.
+    """
+    E, K = events.num_events, cfg.chains
+    keys = jax.random.split(key, E * K).reshape(E, K, 2)
+
+    def one_event(ev_keys, weights, log_read, counts, log_iso_w, hyper, num_iso):
+        ev = EventBatch(weights, log_read, counts, log_iso_w, hyper, num_iso)
+        return jax.vmap(lambda k: _run_chain(k, ev, num_iso, cfg))(ev_keys)
+
+    psis, logliks, st = jax.vmap(one_event)(
+        keys, events.weights, events.log_read, events.counts,
+        events.log_iso_w, events.hyper, events.num_iso)
+
+    # psis: (E, K, R, I) from vmap(chains) of (R, I) -> transpose to (E,R,K,I)
+    psi_samples = jnp.swapaxes(psis, 1, 2)
+    loglik = jnp.swapaxes(logliks, 1, 2)
+    accepted = jnp.sum(st.accepted, axis=1)
+    total = cfg.iters * K
+    return SamplerResult(
+        psi_samples=psi_samples,
+        loglik=loglik,
+        accepted=accepted,
+        rejected=total - accepted,
+        final_n=st.n,
+        final_psi=st.psi,
+    )
