@@ -1,0 +1,78 @@
+"""Benchmark: splice events quantified per second on one chip.
+
+Workload: a catalog of simulated events at the reference's default sampler
+cost (5000 iterations x 6 chains, burn-in 500, lag 10 -- the per-event cost
+of `miso --run` with stock settings, misopy/settings/miso_settings.txt),
+batched on-device.
+
+Baseline: the reference publishes no numbers (BASELINE.md); the recorded
+target is >= 1e4 events/s/host (BASELINE.json).  vs_baseline is measured
+events/s divided by that target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def build_catalog(num_events, reads_per_event=200, seed=0):
+    from miso_tpu.core.events import compile_single_end, pad_events
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.sampler.mcmc import EventBatch
+
+    rng = np.random.default_rng(seed)
+    genes = [
+        make_gene([100, 50, 100], [[1, 2, 3], [1, 3]]),
+        make_gene([120, 60, 90], [[1, 2, 3], [1, 3]]),
+        make_gene([100, 50, 80, 100], [[1, 2, 3, 4], [1, 3, 4], [1, 4]]),
+    ]
+    # compile a handful of distinct events, then tile (compilation cost of
+    # the catalog is host-side and amortized; device work is identical)
+    protos = []
+    for e in range(32):
+        g = genes[e % len(genes)]
+        psi = rng.dirichlet(np.ones(g.num_isoforms))
+        _, pos, cig = simulate_reads(g, psi, reads_per_event, 25, rng)
+        protos.append(
+            compile_single_end(g, pos, cig, read_len=25, name="ev%d" % e))
+    events = [protos[i % len(protos)] for i in range(num_events)]
+    pad = pad_events(events, pad_iso=4, pad_classes=8)
+    return EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
+
+
+def main():
+    import jax
+    from miso_tpu.sampler.mcmc import SamplerConfig, run_batch
+
+    num_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
+    cfg = SamplerConfig(iters=5000, burn_in=500, lag=10, chains=6)
+    batch = build_catalog(num_events)
+    key = jax.random.PRNGKey(0)
+
+    # compile + warmup (force a full device->host fetch; on the tunneled
+    # remote backend block_until_ready alone may not round-trip)
+    res = run_batch(key, batch, cfg)
+    np.asarray(res.accepted)
+
+    t0 = time.perf_counter()
+    res = run_batch(jax.random.PRNGKey(1), batch, cfg)
+    jax.block_until_ready(res)
+    np.asarray(res.accepted)
+    dt = time.perf_counter() - t0
+
+    events_per_s = num_events / dt
+    target = 1e4  # BASELINE.json target: events/s/host
+    print(json.dumps({
+        "metric": "events_quantified_per_s_per_chip",
+        "value": round(events_per_s, 2),
+        "unit": "events/s (5000 iters x 6 chains each)",
+        "vs_baseline": round(events_per_s / target, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

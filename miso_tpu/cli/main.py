@@ -1,0 +1,117 @@
+"""`miso` -- main quantification CLI.
+
+Flag parity with misopy/miso.py:429-626 (`miso --run index_dir reads.bam
+--output-dir out --read-len N [--paired-end MEAN SD] ...`).  Cluster/fork
+flags are accepted for compatibility; execution is single-process with
+device-level batch parallelism (the TPU replaces the process fan-out).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="miso")
+    p.add_argument("--run", dest="compute_genes_psi", nargs=2, default=None,
+                   metavar=("INDEX_DIR", "READS"),
+                   help="Quantify events: indexed GFF dir + sorted/indexed "
+                        "BAM (or SAM) file.")
+    p.add_argument("--settings-filename", dest="settings_filename",
+                   default=None)
+    p.add_argument("--read-len", dest="read_len", type=int, default=None)
+    p.add_argument("--paired-end", dest="paired_end", nargs=2, default=None,
+                   metavar=("MEAN", "SD"), type=float)
+    p.add_argument("--overhang-len", dest="overhang_len", type=int,
+                   default=None)
+    p.add_argument("--output-dir", dest="output_dir", default=None)
+    p.add_argument("--event-type", dest="event_type", default=None,
+                   help="Optional event type tag (informational).")
+    p.add_argument("--no-filter-events", dest="no_filter_events",
+                   action="store_true", default=False)
+    p.add_argument("--prefilter", dest="prefilter", action="store_true",
+                   default=False)
+    p.add_argument("-p", dest="num_proc", type=int, default=None,
+                   help="Accepted for compatibility (device batching is "
+                        "used instead of worker processes).")
+    p.add_argument("--use-cluster", action="store_true", default=False,
+                   help="Accepted for compatibility; use multi-host JAX "
+                        "(miso --run ... with jax.distributed) instead.")
+    p.add_argument("--chunk-jobs", dest="chunk_jobs", default=None)
+    p.add_argument("--job-name", dest="job_name", default=None)
+    p.add_argument("--SGEarray", action="store_true", default=False)
+    p.add_argument("--no-wait", action="store_true", default=False)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--use-compressed", dest="use_compressed", default=None)
+    p.add_argument("--view-gene", dest="view_gene", default=None,
+                   help="Inspect an indexed gene pickle file.")
+    p.add_argument("--version", action="store_true", default=False)
+    return p
+
+
+def view_gene(pickle_path: str) -> None:
+    """Ref: misopy/miso.py:593-617."""
+    from miso_tpu.io.index import load_indexed_gene
+    data = load_indexed_gene(pickle_path)
+    for gene_id, entry in data.items():
+        gene = entry["gene_object"]
+        print("Gene %s" % gene_id)
+        print("  chrom=%s strand=%s isoforms=%d parts=%d"
+              % (gene.chrom, gene.strand, gene.num_isoforms, len(gene.parts)))
+        for i, iso in enumerate(gene.isoforms):
+            print("  isoform %d (%s): parts=%s len=%d"
+                  % (i, iso.label, list(iso.parts), gene.iso_length(i)))
+
+
+def main(argv=None) -> int:
+    from miso_tpu import __version__
+    from miso_tpu.io.settings import Settings
+    from miso_tpu.pipeline import RunConfig, compute_all_genes_psi
+
+    args = build_parser().parse_args(argv)
+    if args.version:
+        print("miso_tpu v%s" % __version__)
+        return 0
+    if args.view_gene is not None:
+        view_gene(args.view_gene)
+        return 0
+    if args.compute_genes_psi is None:
+        print("Use --run INDEX_DIR READS --output-dir DIR --read-len N",
+              file=sys.stderr)
+        return 1
+    if args.output_dir is None:
+        print("Error: need --output-dir.", file=sys.stderr)
+        return 1
+    if args.read_len is None:
+        print("Error: need --read-len.", file=sys.stderr)
+        return 1
+
+    settings = Settings.load(args.settings_filename)
+    index_dir, reads = args.compute_genes_psi
+    paired = args.paired_end is not None
+    overhang = 1
+    if args.overhang_len is not None and not paired:
+        overhang = args.overhang_len
+    elif args.overhang_len is not None and paired:
+        print("Warning: cannot use --overhang-len in paired-end mode. "
+              "Using overhang = 1")
+    cfg = RunConfig.from_settings(
+        settings, args.read_len,
+        overhang_len=overhang,
+        paired_end=paired,
+        mean_frag_len=args.paired_end[0] if paired else None,
+        frag_variance=(args.paired_end[1] ** 2) if paired else None,
+    )
+    os.makedirs(args.output_dir, exist_ok=True)
+    compute_all_genes_psi(
+        os.path.abspath(os.path.expanduser(index_dir)),
+        os.path.abspath(os.path.expanduser(reads)),
+        args.read_len,
+        os.path.abspath(os.path.expanduser(args.output_dir)),
+        cfg=cfg, settings=settings, seed=args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

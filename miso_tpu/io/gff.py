@@ -1,0 +1,234 @@
+"""GFF3 parsing, writing, and gene construction.
+
+Capability parity with misopy/gff_utils.py (GFFDatabase, Reader/Writer) and
+misopy/Gene.py:868-1016 (load_genes_from_gff / make_gene_from_gff_records),
+re-implemented around flat records + a single-pass hierarchy build.
+
+Only the GFF3 dialect is needed by the pipeline (all shipped annotations
+are GFF3); attribute parsing follows gff_utils.py:734-769.
+"""
+from __future__ import annotations
+
+import hashlib
+import os
+import urllib.parse
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from miso_tpu.core.gene import Exon, Gene, Isoform
+
+COMPRESS_PREFIX = "misocomp"
+
+
+@dataclass
+class GFFRecord:
+    """One GFF3 line. Coordinates 1-based inclusive."""
+
+    seqid: str
+    source: str
+    type: str
+    start: int
+    end: int
+    score: Optional[float] = None
+    strand: Optional[str] = None
+    phase: Optional[int] = None
+    attributes: Dict[str, List[str]] = field(default_factory=dict)
+
+    def get_id(self) -> Optional[str]:
+        v = self.attributes.get("ID")
+        return v[0] if v else None
+
+    def get_parents(self) -> List[str]:
+        return self.attributes.get("Parent", [])
+
+    def to_line(self) -> str:
+        attrs = ";".join(
+            "%s=%s" % (k, ",".join(_escape(x) for x in v))
+            for k, v in self.attributes.items()
+        )
+        return "\t".join([
+            self.seqid, self.source, self.type,
+            str(self.start), str(self.end),
+            "." if self.score is None else ("%g" % self.score),
+            self.strand or ".",
+            "." if self.phase is None else str(self.phase),
+            attrs or ".",
+        ])
+
+
+def _unescape(s: str) -> str:
+    return urllib.parse.unquote(s) if "%" in s else s
+
+
+def _escape(s: str) -> str:
+    return s.replace(";", "%3B").replace("=", "%3D").replace(",", "%2C")
+
+
+def parse_attributes(field9: str) -> Dict[str, List[str]]:
+    """GFF3 `key=v1,v2;key2=v` attribute parsing
+    (gff_utils.py:734-769 semantics)."""
+    attrs: Dict[str, List[str]] = {}
+    if field9 in (".", ""):
+        return attrs
+    for part in field9.rstrip(";").split(";"):
+        part = part.strip()
+        if not part:
+            continue
+        if "=" in part:
+            k, v = part.split("=", 1)
+            attrs[k.strip()] = [_unescape(x) for x in v.split(",")]
+        else:
+            attrs.setdefault(part, [])
+    return attrs
+
+
+def parse_gff_line(line: str) -> Optional[GFFRecord]:
+    fields = line.rstrip("\n").split("\t")
+    if len(fields) < 9:
+        return None
+    score = None if fields[5] == "." else float(fields[5])
+    strand = None if fields[6] == "." else fields[6]
+    phase = None if fields[7] == "." else int(fields[7])
+    return GFFRecord(
+        seqid=fields[0], source=fields[1], type=fields[2],
+        start=int(fields[3]), end=int(fields[4]), score=score,
+        strand=strand, phase=phase, attributes=parse_attributes(fields[8]))
+
+
+def read_gff(path: str) -> List[GFFRecord]:
+    records = []
+    with open(path) as f:
+        for line in f:
+            if line.startswith("#") or not line.strip():
+                continue
+            rec = parse_gff_line(line)
+            if rec is not None:
+                records.append(rec)
+    return records
+
+
+def write_gff(records: Iterable[GFFRecord], path: str,
+              header: str = "##gff-version 3\n") -> None:
+    with open(path, "w") as f:
+        f.write(header)
+        for rec in records:
+            f.write(rec.to_line() + "\n")
+
+
+class GFFDatabase:
+    """gene -> mRNA -> exon hierarchy over a GFF3 file.
+
+    Parity target: misopy/gff_utils.py:164-313.  Only `mRNA`/`transcript`
+    children of genes and `exon` children of transcripts participate in
+    gene-model construction (CDS/start_codon etc. are carried through for
+    round-tripping but ignored by the quantifier).
+    """
+
+    GENE_TYPES = frozenset(["gene"])
+    MRNA_TYPES = frozenset(["mRNA", "transcript"])
+
+    def __init__(self, path_or_records):
+        if isinstance(path_or_records, str):
+            self.records = read_gff(path_or_records)
+        else:
+            self.records = list(path_or_records)
+        self.genes: List[GFFRecord] = []
+        self.mrnas_by_gene: Dict[str, List[GFFRecord]] = {}
+        self.exons_by_mrna: Dict[str, List[GFFRecord]] = {}
+        self._build()
+
+    def _build(self):
+        mrna_ids = set()
+        for rec in self.records:
+            if rec.type in self.GENE_TYPES:
+                self.genes.append(rec)
+            elif rec.type in self.MRNA_TYPES:
+                rid = rec.get_id()
+                if rid is not None:
+                    mrna_ids.add(rid)
+                for p in rec.get_parents():
+                    self.mrnas_by_gene.setdefault(p, []).append(rec)
+        for rec in self.records:
+            if rec.type == "exon":
+                for p in rec.get_parents():
+                    if p in mrna_ids:
+                        self.exons_by_mrna.setdefault(p, []).append(rec)
+
+
+def make_gene_from_records(
+    gene_rec: GFFRecord,
+    mrna_recs: List[GFFRecord],
+    exons_by_mrna: Dict[str, List[GFFRecord]],
+) -> Optional[Gene]:
+    """Build a Gene from its hierarchy.
+    Ref: misopy/Gene.py:920-1016 (make_gene_from_gff_records): exons of each
+    transcript sorted by start; gene parts are the unique exons across
+    transcripts; isoform desc = list of exon labels."""
+    gene_label = gene_rec.get_id()
+    chrom = gene_rec.seqid
+    strand = gene_rec.strand
+
+    part_index: Dict[Tuple[int, int], int] = {}
+    parts: List[Exon] = []
+    isoforms: List[Isoform] = []
+    for mrna in mrna_recs:
+        mid = mrna.get_id()
+        exon_recs = exons_by_mrna.get(mid, [])
+        if not exon_recs:
+            continue
+        chrom = mrna.seqid
+        strand = mrna.strand
+        exon_recs = sorted(exon_recs, key=lambda r: r.start)
+        idxs = []
+        labels = []
+        for er in exon_recs:
+            key = (er.start, er.end)
+            if key not in part_index:
+                label = er.get_id() or "%d_%d" % key
+                part_index[key] = len(parts)
+                parts.append(Exon(er.start, er.end, label=label))
+            idxs.append(part_index[key])
+            labels.append(parts[part_index[key]].label)
+        isoforms.append(Isoform(tuple(idxs), label=mid, desc=labels))
+    if not isoforms:
+        return None
+    # re-sort parts by coordinate and remap isoform indices
+    order = sorted(range(len(parts)), key=lambda i: (parts[i].start, parts[i].end))
+    remap = {old: new for new, old in enumerate(order)}
+    parts = [parts[i] for i in order]
+    isoforms = [
+        Isoform(tuple(remap[i] for i in iso.parts), label=iso.label,
+                desc=iso.desc)
+        for iso in isoforms
+    ]
+    return Gene(parts=parts, isoforms=isoforms, label=gene_label,
+                chrom=chrom, strand=strand)
+
+
+def load_genes_from_gff(path: str) -> Dict[str, Gene]:
+    """All genes of a GFF3 file, keyed by gene ID, in file order.
+    Ref: misopy/Gene.py:868-917."""
+    db = GFFDatabase(path)
+    out: Dict[str, Gene] = {}
+    for gene_rec in db.genes:
+        gid = gene_rec.get_id()
+        if gid is None:
+            continue
+        gene = make_gene_from_records(
+            gene_rec, db.mrnas_by_gene.get(gid, []), db.exons_by_mrna)
+        if gene is not None:
+            out[gid] = gene
+    return out
+
+
+def compress_event_name(event_name: str, prefix: str = COMPRESS_PREFIX) -> str:
+    """Filename-safe hashed event ID (`--compress-id`).
+
+    Ref: misopy/index_gff.py:22-26 (uses Python2 hash(); we use a stable
+    md5-derived value so indices are reproducible across runs)."""
+    h = int(hashlib.md5(event_name.encode()).hexdigest()[:15], 16)
+    return "%s_%s" % (prefix, h)
+
+
+def is_compressed_name(event_name: str) -> bool:
+    return str(event_name).startswith(COMPRESS_PREFIX)

@@ -1,0 +1,136 @@
+"""SQLite packing of per-chromosome `.miso` directories into `.miso_db`.
+
+Format parity: misopy/miso_db.py -- table `table_<chrom>` with columns
+(event_name text, psi_vals_and_scores text, header text); the header column
+holds the two header lines, the data column the sample lines.
+"""
+from __future__ import annotations
+
+import fnmatch
+import glob
+import io
+import os
+import sqlite3
+import sys
+from typing import Dict, List, Optional
+
+MISO_DB_EXT = ".miso_db"
+
+
+def is_miso_db_fname(fname: str) -> bool:
+    return fname.endswith(MISO_DB_EXT)
+
+
+def strip_miso_ext(filename: str) -> str:
+    return filename[:-5] if filename.endswith(".miso") else filename
+
+
+def get_table_name_from_file(db_filename: str) -> Optional[str]:
+    base = os.path.basename(db_filename)
+    if base.endswith(MISO_DB_EXT):
+        return base[: -len(MISO_DB_EXT)]
+    return None
+
+
+def is_miso_unpacked_dir(dirname: str) -> bool:
+    if not os.path.isdir(dirname):
+        return False
+    return len(fnmatch.filter(os.listdir(dirname), "*.miso")) != 0
+
+
+class MISODatabase:
+    """Read access to one `.miso_db` file (misopy/miso_db.py:23-141)."""
+
+    def __init__(self, db_fname: str,
+                 comp_to_uncomp: Optional[Dict[str, str]] = None):
+        if not os.path.isfile(db_fname):
+            raise FileNotFoundError(db_fname)
+        self.db_fname = db_fname
+        self.comp_to_uncomp = comp_to_uncomp
+        self.uncomp_to_comp = None
+        if comp_to_uncomp is not None:
+            self.uncomp_to_comp = {v: k for k, v in comp_to_uncomp.items()}
+        self.table_name = "table_%s" % get_table_name_from_file(db_fname)
+        self.conn = sqlite3.connect(self.db_fname)
+        self.is_db_events_compressed = self._first_event_compressed()
+
+    def _first_event_compressed(self) -> bool:
+        from miso_tpu.io.gff import is_compressed_name
+        c = self.conn.cursor()
+        row = c.execute("SELECT * from %s" % self.table_name).fetchone()
+        if row is None:
+            return False
+        return is_compressed_name(str(row[0]))
+
+    def get_event_data_as_stream(self, event_name: str):
+        from miso_tpu.io.gff import is_compressed_name
+        event_to_query = event_name
+        if self.is_db_events_compressed and not is_compressed_name(event_name):
+            if self.uncomp_to_comp is None:
+                raise ValueError(
+                    "The database contains compressed IDs but no mapping "
+                    "(.shelve) file was given.")
+            if event_name not in self.uncomp_to_comp:
+                return None
+            event_to_query = self.uncomp_to_comp[event_name]
+        elif (not self.is_db_events_compressed) and \
+                is_compressed_name(event_name):
+            if self.comp_to_uncomp is None or \
+                    event_name not in self.comp_to_uncomp:
+                return None
+            event_to_query = self.comp_to_uncomp[event_name]
+        c = self.conn.cursor()
+        rows = c.execute(
+            "SELECT * from %s WHERE event_name=?" % self.table_name,
+            (event_to_query,)).fetchall()
+        if len(rows) == 0:
+            return None
+        if len(rows) > 1:
+            raise ValueError("More than one entry for event %s" % event_to_query)
+        _, psi_vals_and_scores, header = rows[0]
+        return io.StringIO("%s%s" % (header, psi_vals_and_scores))
+
+    def get_all_event_names(self) -> List[str]:
+        c = self.conn.cursor()
+        return [row[0] for row in
+                c.execute("SELECT event_name from %s" % self.table_name)]
+
+
+def load_miso_file_as_str(miso_filename: str):
+    if not os.path.isfile(miso_filename):
+        return None
+    with open(miso_filename) as f:
+        lines = f.readlines()
+    header = "".join(lines[:2])
+    return header, "".join(lines[2:])
+
+
+def miso_dir_to_db(dir_to_compress: str,
+                   output_filename: str) -> Optional[str]:
+    """Pack one directory of `.miso` files into one `.miso_db`
+    (misopy/miso_db.py:144-193)."""
+    if not os.path.isdir(dir_to_compress):
+        print("Error: %s not a directory, aborting." % dir_to_compress)
+        sys.exit(1)
+    miso_filenames = glob.glob(os.path.join(dir_to_compress, "*.miso"))
+    if os.path.isfile(output_filename):
+        print("Error: Database %s already exists, aborting." % output_filename)
+        return None
+    conn = sqlite3.connect(output_filename)
+    c = conn.cursor()
+    table_name = "table_%s" % os.path.basename(dir_to_compress)
+    c.execute("CREATE TABLE %s "
+              "(event_name text, psi_vals_and_scores text, header text)"
+              % table_name)
+    for miso_fname in miso_filenames:
+        fields = load_miso_file_as_str(miso_fname)
+        if fields is None:
+            print("Error: Cannot compress %s. Aborting." % miso_fname)
+            return None
+        header, psi_vals_and_scores = fields
+        event_name = strip_miso_ext(os.path.basename(miso_fname))
+        c.execute("INSERT INTO %s VALUES (?, ?, ?)" % table_name,
+                  (event_name, psi_vals_and_scores, header))
+    conn.commit()
+    conn.close()
+    return output_filename

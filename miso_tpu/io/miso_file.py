@@ -1,0 +1,288 @@
+"""The `.miso` per-event output format: writer, reader, directory model,
+and the `.miso_summary` summarizer.
+
+Format parity targets:
+- writer: misopy/miso_sampler.py:376-466 (output_miso_results) -- header
+  field order, 4-decimal psi, 2-decimal log score.
+- reader: misopy/samples_utils.py:130-228 (load_samples + header parsing).
+- directory model: misopy/samples_utils.py:21-120, 332-411 (MISOSamples).
+- summary: misopy/samples_utils.py:263-329 (summarize_sampler_results).
+"""
+from __future__ import annotations
+
+import glob
+import os
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from miso_tpu.core.events import CompiledEvent
+from miso_tpu.core.gene import Gene
+from miso_tpu.stats.intervals import format_credible_intervals
+
+
+# ------------------------------------------------------------------ writing
+
+def isoforms_str(gene: Gene) -> str:
+    """`['iso1','iso2']` with list-descs joined by '_'
+    (miso_sampler.py:384-392)."""
+    descs = []
+    for i in range(gene.num_isoforms):
+        descs.append("'" + gene.iso_desc_str(i) + "'")
+    return "[" + ",".join(descs) + "]"
+
+
+def exon_lens_str(gene: Gene) -> str:
+    """`('label',len),...` over gene parts (miso_sampler.py:397-398)."""
+    return ",".join("('%s',%d)" % (p.label, p.len) for p in gene.parts)
+
+
+def assigned_counts_str(final_n: np.ndarray, num_iso: int) -> str:
+    """`0:n0,1:n1,...` from per-isoform assignment counts
+    (miso_sampler.py:424-428, reads_utils.py:38-46)."""
+    return ",".join("%d:%d" % (i, int(round(float(final_n[i]))))
+                    for i in range(num_iso))
+
+
+def write_miso_file(
+    output_file: str,
+    event: CompiledEvent,
+    psi_samples: np.ndarray,   # (S, I_real)
+    log_scores: np.ndarray,    # (S,)
+    iters: int,
+    burn_in: int,
+    lag: int,
+    percent_accept: float,
+    final_n: np.ndarray,
+    proposal_type: str = "drift",
+) -> None:
+    """Write one event's `.miso` file (miso_sampler.py:376-466)."""
+    gene = event.gene
+    chrom = gene.chrom if gene.chrom is not None else "NA"
+    strand = gene.strand if gene.strand is not None else "NA"
+    mrna_starts = ",".join(
+        str(gene.iso_genomic_span(i)[0]) for i in range(gene.num_isoforms))
+    mrna_ends = ",".join(
+        str(gene.iso_genomic_span(i)[1]) for i in range(gene.num_isoforms))
+    header = (
+        "#isoforms=%s\texon_lens=%s\titers=%d\tburn_in=%d\tlag=%d\t"
+        "percent_accept=%.2f\tproposal_type=%s\t"
+        "counts=%s\tassigned_counts=%s\tchrom=%s\tstrand=%s\t"
+        "mRNA_starts=%s\tmRNA_ends=%s\n"
+        % (isoforms_str(gene), exon_lens_str(gene), iters, burn_in, lag,
+           percent_accept, proposal_type, event.counts_str(),
+           assigned_counts_str(final_n, event.num_iso), chrom, strand,
+           mrna_starts, mrna_ends))
+    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    with open(output_file, "w") as f:
+        f.write(header)
+        f.write("sampled_psi\tlog_score\n")
+        for psi, score in zip(psi_samples, log_scores):
+            f.write("%s\t%.2f\n" % (",".join("%.4f" % v for v in psi), score))
+
+
+# ------------------------------------------------------------------ reading
+
+@dataclass
+class MISOFileData:
+    samples: np.ndarray          # (S, I)
+    header: str
+    log_scores: np.ndarray       # (S,)
+    sampled_map: List[float]
+    sampled_map_log_score: float
+    counts_info: Dict[str, str]
+    params: Dict[str, str] = field(default_factory=dict)
+
+    # tuple compatibility with reference load_samples return
+    def __getitem__(self, i):
+        return (self.samples, [self.header], self.log_scores,
+                self.sampled_map, self.sampled_map_log_score,
+                self.counts_info)[i]
+
+
+def parse_sampler_params_from_header(header: str) -> Dict[str, str]:
+    """Ref: samples_utils.py:159-174."""
+    if header.startswith("#"):
+        header = header[1:]
+    params = {}
+    for fld in header.rstrip("\n").split("\t"):
+        if "=" in fld:
+            key, value = fld.split("=", 1)
+            params[key] = value
+    return params
+
+
+def get_isoforms_from_header(header: str) -> str:
+    """Ref: samples_utils.py:177-189."""
+    iso = header[1:].split("\t")[0]
+    iso = iso.split("isoforms=")[1]
+    return iso[1:-1]
+
+
+def get_counts_from_header(header: str) -> Dict[str, str]:
+    """Ref: samples_utils.py:192-211."""
+    counts: Dict[str, str] = {}
+    for fld in header[1:].split("\t"):
+        if fld.startswith("counts="):
+            counts["counts"] = fld.split("=", 1)[1]
+        elif fld.startswith("assigned_counts="):
+            counts["assigned_counts"] = fld.split("=", 1)[1]
+    if len(counts) != 2:
+        counts = {"counts": "n/a", "assigned_counts": "n/a"}
+    return counts
+
+
+def load_miso_file(source) -> Optional[MISOFileData]:
+    """Parse a .miso file (path, or iterable of lines).
+    Ref: samples_utils.py:130-156."""
+    if isinstance(source, str):
+        with open(source) as f:
+            lines = f.readlines()
+    else:
+        lines = [l for l in source]
+    if len(lines) < 3:
+        return None
+    header = lines[0].rstrip("\n")
+    samples = []
+    scores = []
+    try:
+        for line in lines[2:]:
+            line = line.strip()
+            if not line:
+                continue
+            psi_str, score_str = line.split("\t")
+            samples.append([float(v) for v in psi_str.split(",")])
+            scores.append(float(score_str))
+    except ValueError:
+        return None
+    if not samples:
+        return None
+    samples = np.array(samples)
+    scores = np.array(scores)
+    map_idx = int(np.argmax(samples[:, 0]))
+    return MISOFileData(
+        samples=samples, header=header, log_scores=scores,
+        sampled_map=[float(v) for v in samples[map_idx]],
+        sampled_map_log_score=float(scores[map_idx]),
+        counts_info=get_counts_from_header(header),
+        params=parse_sampler_params_from_header(header),
+    )
+
+
+def get_gene_info_from_params(params: Dict[str, str]) -> Dict[str, str]:
+    """Ref: samples_utils.py:214-228."""
+    out = {"chrom": "NA", "strand": "NA", "mRNA_starts": "NA",
+           "mRNA_ends": "NA"}
+    for k in out:
+        if k in params:
+            out[k] = params[k]
+    return out
+
+
+# ------------------------------------------------------------ directory
+
+def is_miso_chrom_dir(dirname: str) -> bool:
+    """Ref: samples_utils.py:332-348."""
+    if not os.path.isdir(dirname):
+        return False
+    base = os.path.basename(dirname)
+    if base.startswith("chr") or base.isdigit() or base in ("X", "Y"):
+        return True
+    return len(glob.glob(os.path.join(dirname, "*.miso"))) >= 1
+
+
+class MISOSamples:
+    """A MISO output directory: chromosome subdirs of .miso files (or
+    .miso_db sqlite packs).  Ref: samples_utils.py:21-120."""
+
+    def __init__(self, samples_dir: str, use_compressed: Optional[str] = None):
+        from miso_tpu.io import miso_db
+        self.samples_dir = samples_dir
+        self.compressed_ids_to_genes = None
+        if use_compressed is not None:
+            from miso_tpu.io.index import load_compressed_ids_to_genes
+            self.compressed_ids_to_genes = \
+                load_compressed_ids_to_genes(use_compressed)
+        self.event_names_to_fnames: Dict[str, str] = {}
+        filenames = self._collect_filenames(samples_dir)
+        for fname in filenames:
+            if fname.endswith(".miso"):
+                name = os.path.basename(fname)[:-len(".miso")]
+                if self.compressed_ids_to_genes is not None:
+                    name = self.compressed_ids_to_genes.get(name, name)
+                self.event_names_to_fnames[name] = fname
+            elif miso_db.is_miso_db_fname(fname):
+                db = miso_db.MISODatabase(
+                    fname, comp_to_uncomp=self.compressed_ids_to_genes)
+                for ev in db.get_all_event_names():
+                    self.event_names_to_fnames[str(ev)] = fname
+        self.all_event_names = list(self.event_names_to_fnames.keys())
+        self.num_events = len(self.all_event_names)
+
+    @staticmethod
+    def _collect_filenames(samples_dir: str) -> List[str]:
+        from miso_tpu.io import miso_db
+        dirs = [d for d in glob.glob(os.path.join(samples_dir, "*"))
+                if is_miso_chrom_dir(d)]
+        filenames = []
+        for d in dirs:
+            filenames.extend(
+                os.path.join(d, f) for f in os.listdir(d))
+        filenames.extend(
+            os.path.join(samples_dir, f) for f in os.listdir(samples_dir))
+        filenames = [f for f in filenames
+                     if not os.path.isdir(f)
+                     and not os.path.basename(f).startswith(".")]
+        return [f for f in filenames
+                if f.endswith(".miso") or miso_db.is_miso_db_fname(f)]
+
+    def get_event_samples(self, event_name: str) -> Optional[MISOFileData]:
+        from miso_tpu.io import miso_db
+        fname = self.event_names_to_fnames.get(event_name)
+        if fname is None:
+            return None
+        if fname.endswith(".miso"):
+            return load_miso_file(fname)
+        db = miso_db.MISODatabase(
+            fname, comp_to_uncomp=self.compressed_ids_to_genes)
+        data = db.get_event_data_as_stream(event_name)
+        if data is None:
+            return None
+        return load_miso_file(data)
+
+
+# ------------------------------------------------------------- summarize
+
+SUMMARY_HEADER_FIELDS = [
+    "event_name", "miso_posterior_mean", "ci_low", "ci_high",
+    "isoforms", "counts", "assigned_counts",
+    "chrom", "strand", "mRNA_starts", "mRNA_ends",
+]
+
+
+def summarize_sampler_results(samples_dir: str, summary_filename: str,
+                              use_compressed: Optional[str] = None) -> int:
+    """Write the `.miso_summary` table; returns events summarized.
+    Ref: samples_utils.py:263-329."""
+    os.makedirs(os.path.dirname(os.path.abspath(summary_filename)),
+                exist_ok=True)
+    samples_obj = MISOSamples(samples_dir, use_compressed=use_compressed)
+    num_events = 0
+    with open(summary_filename, "w") as out:
+        out.write("\t".join(SUMMARY_HEADER_FIELDS) + "\n")
+        for event_name in samples_obj.all_event_names:
+            data = samples_obj.get_event_samples(event_name)
+            if data is None:
+                print("WARNING: Skipping %s" % event_name)
+                continue
+            fields = format_credible_intervals(event_name, data.samples)
+            fields.append(get_isoforms_from_header(data.header))
+            fields.append(data.counts_info["counts"])
+            fields.append(data.counts_info["assigned_counts"])
+            gene_info = get_gene_info_from_params(data.params)
+            fields.extend([gene_info["chrom"], gene_info["strand"],
+                           gene_info["mRNA_starts"], gene_info["mRNA_ends"]])
+            out.write("\t".join(fields) + "\n")
+            num_events += 1
+    return num_events

@@ -1,0 +1,231 @@
+"""End-to-end quantification pipeline: indexed GFF + alignments -> .miso.
+
+The TPU-native replacement for the reference's process fan-out
+(misopy/miso.py:70-337 GenesDispatcher + run_miso.py:34-202
+compute_gene_psi): instead of forking a worker per gene batch, the host
+compiles every runnable event into dense tensors, buckets them by padded
+shape, and runs each bucket as ONE device program over (events x chains);
+outputs are then written per event in the reference's directory layout.
+
+Per-event skip rules replicated:
+- no reads fetched (miso_sampler.py:229-231)
+- fewer than min_event_reads (run_miso.py:141-146)
+- single-isoform genes (miso_sampler.py:272-276)
+- existing .miso output => resume/idempotency (miso_sampler.py:234-238)
+- all reads incompatible with the annotation (miso_sampler.py:352-354)
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from miso_tpu.core.events import (CompiledEvent, bucket_events,
+                                  compile_paired_end, compile_single_end,
+                                  pad_events)
+from miso_tpu.core.gene import Gene
+from miso_tpu.io import sam as sam_io
+from miso_tpu.io.index import get_gene_ids_to_filenames, load_indexed_gene
+from miso_tpu.io.miso_file import write_miso_file
+from miso_tpu.io.settings import Settings
+from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
+
+
+@dataclasses.dataclass
+class RunConfig:
+    read_len: int
+    overhang_len: int = 1
+    paired_end: bool = False
+    mean_frag_len: Optional[float] = None
+    frag_variance: Optional[float] = None
+    num_sds: float = 4.0
+    iters: int = 5000
+    burn_in: int = 500
+    lag: int = 10
+    chains: int = 6
+    algorithm: str = "reassign"
+    min_event_reads: int = 20
+    strand_rule: Optional[str] = None
+    max_batch_events: int = 4096
+    filter_read_len: Optional[int] = None  # drop reads of other lengths
+
+    @classmethod
+    def from_settings(cls, settings: Settings, read_len: int, **kw):
+        sp = settings.get_sampler_params()
+        return cls(
+            read_len=read_len,
+            iters=kw.pop("iters", sp["num_iters"]),
+            burn_in=kw.pop("burn_in", sp["burn_in"]),
+            lag=kw.pop("lag", sp["lag"]),
+            chains=kw.pop("chains", sp["num_chains"]),
+            min_event_reads=kw.pop("min_event_reads",
+                                   settings.get_min_event_reads()),
+            strand_rule=kw.pop("strand_rule", settings.get_strand_param()),
+            **kw)
+
+
+def chrom_output_dir(output_dir: str, chrom: Optional[str]) -> str:
+    return os.path.join(output_dir, chrom if chrom else "NA")
+
+
+def event_output_path(output_dir: str, gene: Gene, name: str) -> str:
+    return os.path.join(chrom_output_dir(output_dir, gene.chrom),
+                        "%s.miso" % name)
+
+
+def compile_gene_event(
+    gene: Gene,
+    name: str,
+    reads: Tuple[Sequence[int], Sequence[str]],
+    cfg: RunConfig,
+) -> Optional[CompiledEvent]:
+    """Compile one gene's reads into an event; None if skipped."""
+    positions, cigars = reads
+    if gene.num_isoforms < 2:
+        return None
+    num_units = len(positions) // 2 if cfg.paired_end else len(positions)
+    if num_units == 0 or num_units < cfg.min_event_reads:
+        return None
+    # +1: 0-based alignment positions -> 1-based matcher coordinates
+    # (miso_sampler.py:284)
+    pos1 = np.asarray(positions, dtype=np.int64) + 1
+    if cfg.paired_end:
+        ev = compile_paired_end(
+            gene, pos1, list(cigars), read_len=cfg.read_len,
+            mean_frag_len=cfg.mean_frag_len, frag_variance=cfg.frag_variance,
+            num_sds=cfg.num_sds, overhang=cfg.overhang_len, name=name)
+    else:
+        ev = compile_single_end(
+            gene, pos1, list(cigars), read_len=cfg.read_len,
+            overhang=cfg.overhang_len, name=name, algorithm=cfg.algorithm)
+    if not ev.any_compatible:
+        return None
+    return ev
+
+
+def run_events(
+    events: List[CompiledEvent],
+    cfg: RunConfig,
+    seed: int = 0,
+    mesh=None,
+):
+    """Run compiled events through the device sampler, bucketed by shape.
+
+    Returns a list parallel to `events` of per-event result dicts.
+    """
+    import jax
+
+    sampler_cfg = SamplerConfig(
+        iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
+        chains=cfg.chains, algorithm=cfg.algorithm)
+    out: List[Optional[dict]] = [None] * len(events)
+    for (pad_iso, pad_classes), idxs in bucket_events(events):
+        for lo in range(0, len(idxs), cfg.max_batch_events):
+            chunk = idxs[lo:lo + cfg.max_batch_events]
+            evs = [events[i] for i in chunk]
+            pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes)
+            batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
+            key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
+                                     * 131071 + pad_classes * 8191)
+            if mesh is not None:
+                from miso_tpu.parallel.mesh import run_batch_sharded
+                res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh)
+            else:
+                res = run_batch(key, batch, sampler_cfg)
+            flat = np.asarray(res.flat_samples())
+            loglik = np.asarray(res.flat_loglik())
+            accepted = np.asarray(res.accepted)
+            rejected = np.asarray(res.rejected)
+            final_n = np.asarray(res.final_n)
+            for j, i in enumerate(chunk):
+                k = events[i].num_iso
+                out[i] = {
+                    "samples": flat[j, :, :k],
+                    "loglik": loglik[j],
+                    "percent_accept": 100.0 * accepted[j]
+                        / max(accepted[j] + rejected[j], 1),
+                    "final_n": final_n[j, 0, :k],  # chain 0
+                }
+    return out
+
+
+def write_event_results(
+    events: List[CompiledEvent],
+    results: List[Optional[dict]],
+    output_dir: str,
+    cfg: RunConfig,
+) -> int:
+    written = 0
+    for ev, res in zip(events, results):
+        if res is None:
+            continue
+        path = event_output_path(output_dir, ev.gene, ev.name)
+        write_miso_file(
+            path, ev, res["samples"], res["loglik"],
+            iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
+            percent_accept=res["percent_accept"], final_n=res["final_n"])
+        written += 1
+    return written
+
+
+def compute_all_genes_psi(
+    index_dir: str,
+    alignments_path: str,
+    read_len: int,
+    output_dir: str,
+    cfg: Optional[RunConfig] = None,
+    settings: Optional[Settings] = None,
+    gene_ids: Optional[List[str]] = None,
+    seed: int = 0,
+    verbose: bool = True,
+) -> int:
+    """The `miso --run` engine.  Returns the number of events written.
+
+    Ref: misopy/miso.py:340-425 + run_miso.py:34-202, collapsed into one
+    process with device-side batch parallelism.
+    """
+    settings = settings or Settings.get()
+    cfg = cfg or RunConfig.from_settings(settings, read_len)
+
+    t0 = time.time()
+    id_to_fname = get_gene_ids_to_filenames(index_dir)
+    if gene_ids is not None:
+        id_to_fname = {g: id_to_fname[g] for g in gene_ids if g in id_to_fname}
+    alignments = sam_io.open_alignments(alignments_path)
+
+    events: List[CompiledEvent] = []
+    skipped = 0
+    for gene_id, pickle_fname in sorted(id_to_fname.items()):
+        entry = load_indexed_gene(pickle_fname)[gene_id]
+        gene: Gene = entry["gene_object"]
+        out_path = event_output_path(output_dir, gene, gene_id)
+        if os.path.isfile(out_path):
+            if verbose:
+                print("Output filename %s exists, not running MISO." % out_path)
+            skipped += 1
+            continue
+        lo, hi = gene.genomic_span()
+        raw = sam_io.fetch_bam_reads_in_gene(
+            alignments, gene.chrom, lo - 1, hi)
+        reads, _ = sam_io.sam_parse_reads(
+            raw, paired_end=cfg.paired_end, strand_rule=cfg.strand_rule,
+            target_strand=gene.strand,
+            given_read_len=cfg.filter_read_len)
+        ev = compile_gene_event(gene, gene_id, reads, cfg)
+        if ev is None:
+            skipped += 1
+            continue
+        events.append(ev)
+    t_compile = time.time() - t0
+
+    results = run_events(events, cfg, seed=seed)
+    written = write_event_results(events, results, output_dir, cfg)
+    if verbose:
+        dt = time.time() - t0
+        print("Quantified %d events (%d skipped) in %.2fs "
+              "(host compile %.2fs); %.1f events/s"
+              % (written, skipped, dt, t_compile, written / max(dt, 1e-9)))
+    return written

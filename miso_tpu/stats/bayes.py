@@ -1,0 +1,80 @@
+"""Savage-Dickey Bayes factors for differential splicing.
+
+Parity: misopy/hypothesis_test.py:15-26 (NullPeakedDensity), :41-65
+(fixed-covariance-factor Gaussian KDE), :89-179 (delta densities),
+:348-380 (Bayes factor with the 1e12 cap and the degenerate-posterior
+rules).  The KDE is evaluated directly (vectorized closed form) instead of
+through scipy's gaussian_kde object.
+"""
+from __future__ import annotations
+
+import math
+from typing import List, Tuple
+
+import numpy as np
+
+MAX_BF = 1e12
+SMOOTHING_PARAM = 0.3   # hypothesis_test.py:95 (covfact)
+NULL_PEAK_THRESHOLD = 0.009  # hypothesis_test.py:164
+
+
+def kde_density_at(samples: np.ndarray, point: float,
+                   covfact: float = SMOOTHING_PARAM) -> float:
+    """Gaussian KDE with covariance = covfact**2 * var(samples, ddof=1),
+    evaluated at `point` -- closed form of scipy.stats.gaussian_kde with a
+    fixed covariance factor (hypothesis_test.py:41-65)."""
+    samples = np.asarray(samples, dtype=np.float64)
+    n = len(samples)
+    var = samples.var(ddof=1)
+    cov = var * covfact * covfact
+    if cov <= 0:
+        return math.inf if np.any(samples == point) else 0.0
+    z = (point - samples)
+    dens = np.exp(-0.5 * z * z / cov).sum() / (n * math.sqrt(2 * math.pi * cov))
+    return float(dens)
+
+
+def posterior_density_at_zero(posterior_diff: np.ndarray) -> float:
+    """Density of the delta-psi posterior at 0, with the reference's
+    degenerate-posterior handling (hypothesis_test.py:150-169): if the mean
+    absolute difference is <= 0.009 or all differences are identical, the
+    posterior is treated as a point mass at 0 (density inf at 0)."""
+    posterior_diff = np.asarray(posterior_diff, dtype=np.float64)
+    mean_abs = np.abs(posterior_diff).mean()
+    all_same = np.all(posterior_diff == posterior_diff[0])
+    if mean_abs <= NULL_PEAK_THRESHOLD or all_same:
+        return math.inf
+    return kde_density_at(posterior_diff, 0.0)
+
+
+def compute_bayes_factor_from_density(diff_posterior: float,
+                                      diff_prior: float = 1.0) -> float:
+    """BF = prior(0)/posterior(0), capped at 1e12
+    (hypothesis_test.py:348-380).  The analytic triangular prior on
+    delta = psi1 - psi2 has density 1 at 0."""
+    if diff_posterior == 0:
+        return MAX_BF
+    if math.isinf(diff_posterior):
+        return 0.0
+    bf = diff_prior / diff_posterior
+    return min(bf, MAX_BF)
+
+
+def compute_bayes_factors(samples1: np.ndarray,
+                          samples2: np.ndarray) -> List[float]:
+    """Per-isoform Bayes factors for two (N, I) posterior sample sets.
+    Ref: hypothesis_test.py:141-177."""
+    n = min(len(samples1), len(samples2))
+    out = []
+    for iso in range(samples1.shape[1]):
+        diff = samples1[:n, iso] - samples2[:n, iso]
+        dens = posterior_density_at_zero(diff)
+        out.append(compute_bayes_factor_from_density(dens))
+    return out
+
+
+def triangular_prior_density(x: np.ndarray) -> np.ndarray:
+    """Analytic prior on delta: 1+x for x<=0 else 1-x
+    (hypothesis_test.py:105)."""
+    x = np.asarray(x, dtype=np.float64)
+    return np.where(x <= 0, 1 + x, 1 - x)

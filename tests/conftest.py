@@ -8,12 +8,18 @@ import os
 
 # Must be set before jax is imported anywhere.  Overrides any
 # externally-set platform (the session may default to a TPU backend).
+# The axon TPU plugin registers itself from sitecustomize whenever
+# PALLAS_AXON_POOL_IPS is set, bypassing JAX_PLATFORMS -- drop it so the
+# suite is hermetic CPU.
+os.environ.pop("PALLAS_AXON_POOL_IPS", None)
 os.environ["JAX_PLATFORMS"] = "cpu"
-xla_flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in xla_flags:
-    os.environ["XLA_FLAGS"] = (
-        xla_flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+
+import jax  # noqa: E402
+
+# The plugin's register() overrides the platform config directly, so the
+# env var alone is not enough -- force it back after import.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
 
 import pytest  # noqa: E402
 
