@@ -193,23 +193,29 @@ def pad_events(
     events: List[CompiledEvent],
     pad_iso: Optional[int] = None,
     pad_classes: Optional[int] = None,
+    pad_reads: Optional[int] = None,
     dtype=np.float32,
 ):
-    """Pad a list of compiled events to common (C, I) and stack.
+    """Pad a list of compiled events to common (C, I, R) and stack.
 
     Returns dict of numpy arrays matching sampler.mcmc.EventBatch fields.
     Padded classes have counts 0; padded isoforms have log_iso_w = -inf and
-    are excluded by the sampler's masks.
+    are excluded by the sampler's masks; padded read slots carry class -1.
     """
     E = len(events)
     I = pad_iso or _round_up(max(ev.num_iso for ev in events))
     C = pad_classes or _round_up(max(max(ev.num_classes, 1) for ev in events))
+    R = pad_reads or _round_up(
+        max(max(int(ev.counts.sum()), 1) for ev in events))
     weights = np.zeros((E, C, I), dtype)
     log_read = np.zeros((E, C, I), dtype)
     counts = np.zeros((E, C), dtype)
     log_iso_w = np.full((E, I), NEG_INF, dtype)
     hyper = np.ones((E, I), dtype)
     num_iso = np.zeros((E,), np.int32)
+    NEG_BIG = -1e30  # sampler/model.py NEG_BIG
+    read_logw = np.full((E, R, I), NEG_BIG, dtype)
+    read_logscore = np.zeros((E, R, I), dtype)
     for e, ev in enumerate(events):
         k, c = ev.num_iso, ev.num_classes
         weights[e, :c, :k] = ev.weights
@@ -218,17 +224,29 @@ def pad_events(
         log_iso_w[e, :k] = ev.log_iso_w
         hyper[e, :k] = ev.hyper
         num_iso[e] = k
+        # expand classes to per-read rows (static per event): the device
+        # Gibbs step then needs no gathers (see gibbs_reassign_perread)
+        rc = np.repeat(np.arange(c, dtype=np.int64),
+                       ev.counts.astype(np.int64))
+        with np.errstate(divide="ignore"):
+            logw = np.where(ev.weights > 0, np.log(np.maximum(ev.weights,
+                                                              1e-300)),
+                            NEG_BIG)
+        read_logw[e, :len(rc), :k] = logw[rc]
+        read_logscore[e, :len(rc), :k] = ev.log_read[rc]
     return dict(weights=weights, log_read=log_read, counts=counts,
-                log_iso_w=log_iso_w, hyper=hyper, num_iso=num_iso)
+                log_iso_w=log_iso_w, hyper=hyper, num_iso=num_iso,
+                read_logw=read_logw, read_logscore=read_logscore)
 
 
 def bucket_events(
     events: List[CompiledEvent],
-) -> List[Tuple[Tuple[int, int], List[int]]]:
-    """Group event indices into (pad_iso, pad_classes) shape buckets, so
-    jit recompiles only once per bucket shape."""
+) -> List[Tuple[Tuple[int, int, int], List[int]]]:
+    """Group event indices into (pad_iso, pad_classes, pad_reads) shape
+    buckets, so jit recompiles only once per bucket shape."""
     buckets: dict = {}
     for idx, ev in enumerate(events):
-        key = (_round_up(ev.num_iso), _round_up(max(ev.num_classes, 1)))
+        key = (_round_up(ev.num_iso), _round_up(max(ev.num_classes, 1)),
+               _round_up(max(int(ev.counts.sum()), 1)))
         buckets.setdefault(key, []).append(idx)
     return sorted(buckets.items())

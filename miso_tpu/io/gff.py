@@ -188,7 +188,9 @@ def make_gene_from_records(
                 part_index[key] = len(parts)
                 parts.append(Exon(er.start, er.end, label=label))
             idxs.append(part_index[key])
-            labels.append(parts[part_index[key]].label)
+            # desc uses the transcript's OWN exon labels, not the shared
+            # part labels (Gene.py:979-989 collects labels pre-dedup)
+            labels.append(er.get_id() or "%d_%d" % key)
         isoforms.append(Isoform(tuple(idxs), label=mid, desc=labels))
     if not isoforms:
         return None

@@ -118,16 +118,23 @@ def run_events(
     """
     import jax
 
-    sampler_cfg = SamplerConfig(
+    sampler_cfg_base = SamplerConfig(
         iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
         chains=cfg.chains, algorithm=cfg.algorithm)
     out: List[Optional[dict]] = [None] * len(events)
-    for (pad_iso, pad_classes), idxs in bucket_events(events):
+    for (pad_iso, pad_classes, pad_reads), idxs in bucket_events(events):
         for lo in range(0, len(idxs), cfg.max_batch_events):
             chunk = idxs[lo:lo + cfg.max_batch_events]
             evs = [events[i] for i in chunk]
-            pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes)
+            pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes,
+                             pad_reads=pad_reads)
             batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
+            # very deep events: per-class multinomial Gibbs keeps device
+            # memory O(classes) instead of O(reads)
+            sampler_cfg = sampler_cfg_base
+            if pad_reads > 16384 and cfg.algorithm == "reassign":
+                sampler_cfg = dataclasses.replace(sampler_cfg_base,
+                                                  gibbs="multinomial")
             key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
                                      * 131071 + pad_classes * 8191)
             if mesh is not None:

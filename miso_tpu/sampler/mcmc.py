@@ -55,6 +55,8 @@ class EventBatch(NamedTuple):
     log_iso_w: jnp.ndarray
     hyper: jnp.ndarray
     num_iso: jnp.ndarray
+    read_logw: jnp.ndarray      # (E, R, I) per-read log class weights
+    read_logscore: jnp.ndarray  # (E, R, I) per-read log score by isoform
 
     @property
     def num_events(self) -> int:
@@ -80,6 +82,11 @@ class SamplerConfig:
     lag: int = 10
     chains: int = 6
     algorithm: str = "reassign"  # 'reassign' | 'marginal'
+    # Gibbs implementation for 'reassign': 'perread' (Gumbel-argmax over a
+    # dense reads x isoforms tile; fastest on TPU for moderate read depth)
+    # or 'multinomial' (per-class chained binomials; O(classes) memory,
+    # for very high-coverage events).
+    gibbs: str = "perread"
     dtype: str = "float32"
 
     @property
@@ -130,7 +137,15 @@ def _joint_score(psi, st_n, read_prob, ev, masks, algorithm):
         return model.score_marginal(psi, ev.weights, ev.counts) + psi_prob
 
 
-def _make_step(ev, masks: EventMasks, algorithm: str):
+def _gibbs(kg, psi, ev, masks, gibbs: str):
+    if gibbs == "perread":
+        return model.gibbs_reassign_perread(
+            kg, psi, ev.read_logw, ev.read_logscore, masks)
+    draws = model.gibbs_reassign(kg, psi, ev.weights, ev.counts, masks)
+    return jnp.sum(draws, axis=0), jnp.sum(draws * ev.log_read)
+
+
+def _make_step(ev, masks: EventMasks, algorithm: str, gibbs: str):
     """One MH(+Gibbs) iteration for a single (event, chain).
     Ref: the hot loop pysplicing/src/miso.c:845-900."""
 
@@ -154,9 +169,7 @@ def _make_step(ev, masks: EventMasks, algorithm: str):
         cjs_after = jnp.where(accept, pjs, cjs)
 
         if algorithm == "reassign":
-            draws = model.gibbs_reassign(kg, psi, ev.weights, ev.counts, masks)
-            n = jnp.sum(draws, axis=0)
-            read_prob = jnp.sum(draws * ev.log_read)
+            n, read_prob = _gibbs(kg, psi, ev, masks, gibbs)
         else:
             n = st.n
             read_prob = st.read_prob
@@ -170,7 +183,8 @@ def _make_step(ev, masks: EventMasks, algorithm: str):
     return step
 
 
-def _init_state(key, ev, masks: EventMasks, algorithm: str, dtype):
+def _init_state(key, ev, masks: EventMasks, algorithm: str, gibbs: str,
+                dtype):
     """Chain init: AUTO start (miso.c:348-371) followed by one proposal
     (miso.c:834, which overwrites both alpha and psi), then the initial
     Gibbs assignment (miso.c:840-843)."""
@@ -186,9 +200,7 @@ def _init_state(key, ev, masks: EventMasks, algorithm: str, dtype):
     eps = jax.random.normal(kp, (I - 1,), dtype)
     alpha, psi = model.propose(alpha0, eps, masks)
     if algorithm == "reassign":
-        draws = model.gibbs_reassign(kg, psi, ev.weights, ev.counts, masks)
-        n = jnp.sum(draws, axis=0)
-        read_prob = jnp.sum(draws * ev.log_read)
+        n, read_prob = _gibbs(kg, psi, ev, masks, gibbs)
     else:
         n = jnp.zeros((I,), dtype)
         read_prob = jnp.zeros((), dtype)
@@ -203,8 +215,8 @@ def _run_chain(key, ev, num_iso, cfg: SamplerConfig):
     """Full sampler for one (event, chain). Returns records + final state."""
     dtype = jnp.dtype(cfg.dtype)
     masks = model.make_masks(num_iso, ev.log_iso_w.shape[0])
-    step = _make_step(ev, masks, cfg.algorithm)
-    st = _init_state(key, ev, masks, cfg.algorithm, dtype)
+    step = _make_step(ev, masks, cfg.algorithm, cfg.gibbs)
+    st = _init_state(key, ev, masks, cfg.algorithm, cfg.gibbs, dtype)
 
     if cfg.burn_in > 0:
         st, _ = jax.lax.scan(step, st, None, length=cfg.burn_in)
@@ -234,13 +246,12 @@ def run_batch(key: jnp.ndarray, events: EventBatch,
     E, K = events.num_events, cfg.chains
     keys = jax.random.split(key, E * K).reshape(E, K, 2)
 
-    def one_event(ev_keys, weights, log_read, counts, log_iso_w, hyper, num_iso):
-        ev = EventBatch(weights, log_read, counts, log_iso_w, hyper, num_iso)
-        return jax.vmap(lambda k: _run_chain(k, ev, num_iso, cfg))(ev_keys)
+    def one_event(*fields):
+        ev = EventBatch(*fields[1:])
+        return jax.vmap(
+            lambda k: _run_chain(k, ev, ev.num_iso, cfg))(fields[0])
 
-    psis, logliks, st = jax.vmap(one_event)(
-        keys, events.weights, events.log_read, events.counts,
-        events.log_iso_w, events.hyper, events.num_iso)
+    psis, logliks, st = jax.vmap(one_event)(keys, *events)
 
     # psis: (E, K, R, I) from vmap(chains) of (R, I) -> transpose to (E,R,K,I)
     psi_samples = jnp.swapaxes(psis, 1, 2)

@@ -144,6 +144,37 @@ def score_marginal(psi, weights, counts):
     return jnp.sum(jnp.where(s > 0, counts * jnp.log(s), 0.0))
 
 
+NEG_BIG = -1e30  # finite stand-in for -inf in per-read tiles (f32-safe)
+
+
+def gibbs_reassign_perread(key, psi, read_logw, read_logscore,
+                           masks: EventMasks):
+    """Per-read categorical Gibbs reassignment via Gumbel-argmax.
+
+    The literal TPU form of the reference's per-read sampling loop
+    (pysplicing/src/miso.c:30-91): read r draws isoform j with probability
+    psi_j * W_(c_r)j / sum.  The per-read weight rows are expanded on the
+    HOST (they are static per event), so the device step is pure
+    elementwise + reductions -- no gathers (TPU gathers serialize), no
+    rejection-sampling control flow (chained binomials serialize).
+
+    read_logw:     (R, I) log W[class(r), i], NEG_BIG where incompatible
+                   or padding.
+    read_logscore: (R, I) per-read log score by assigned isoform.
+    Returns (n_per_iso (I,), read_prob ()).
+    """
+    logpsi = jnp.log(jnp.maximum(psi, 1e-38))
+    lr = logpsi[None, :] + read_logw                   # (R, I)
+    g = jax.random.gumbel(key, lr.shape, lr.dtype)
+    choice = jnp.argmax(lr + g, axis=1)                # (R,)
+    valid = jnp.any(read_logw > NEG_BIG / 2, axis=1)   # (R,)
+    onehot = (choice[:, None] == jnp.arange(lr.shape[1])[None, :])
+    onehot = jnp.where(valid[:, None], onehot, False).astype(psi.dtype)
+    n = jnp.sum(onehot, axis=0)
+    read_prob = jnp.sum(onehot * read_logscore)
+    return n, read_prob
+
+
 def gibbs_reassign(key, psi, weights, counts, masks: EventMasks):
     """Per-class multinomial reassignment -- the TPU-native form of the
     per-read Gibbs step (pysplicing/src/miso.c:30-91).

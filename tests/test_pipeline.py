@@ -1,0 +1,184 @@
+"""End-to-end pipeline test on the reference's checked-in real-data fixture
+(mouse C2C12 reads over Atp2b1), driving the actual CLIs:
+
+    index_gff -> sam_to_bam -> miso --run -> summarize_miso -> compare_miso
+
+Mirrors the reference's own integration test (misopy/test_miso.py:9-178)
+with numeric checks added.
+"""
+import os
+
+import numpy as np
+import pytest
+
+REF_GFF = "/root/reference/misopy/gff-events/mm9/genes/Atp2b1.mm9.gff"
+REF_SAM = "/root/reference/misopy/test-data/sam-data/c2c12.Atp2b1.sam"
+
+pytestmark = pytest.mark.skipif(
+    not (os.path.isfile(REF_GFF) and os.path.isfile(REF_SAM)),
+    reason="reference fixtures not mounted")
+
+FAST_SETTINGS = """\
+[data]
+filter_results = True
+min_event_reads = 20
+
+[sampler]
+burn_in = 100
+lag = 5
+num_iters = 600
+num_chains = 2
+"""
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    return tmp_path_factory.mktemp("pipeline")
+
+
+@pytest.fixture(scope="module")
+def settings_file(workdir):
+    p = workdir / "settings.txt"
+    p.write_text(FAST_SETTINGS)
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def index_dir(workdir):
+    from miso_tpu.cli.index_gff import main as index_main
+    out = str(workdir / "index")
+    assert index_main(["--index", REF_GFF, out]) == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def bam_file(workdir):
+    from miso_tpu.io.sam import sam_to_bam
+    out = str(workdir / "reads.bam")
+    sam_to_bam(REF_SAM, out)
+    return out
+
+
+def test_index_layout(index_dir):
+    assert os.path.isdir(os.path.join(index_dir, "chr10"))
+    assert os.path.isfile(os.path.join(index_dir, "genes.gff"))
+    files = os.listdir(os.path.join(index_dir, "chr10"))
+    assert any(f.endswith(".pickle") for f in files)
+
+
+def test_bam_roundtrip(bam_file):
+    from miso_tpu.io.sam import BamReader, read_sam_text
+    sam_reads = [r for r in read_sam_text(REF_SAM)]
+    bam_reads = list(BamReader(bam_file))
+    assert len(bam_reads) == len(sam_reads)
+    by_pos = sorted(sam_reads, key=lambda r: r.pos)
+    for got, want in zip(bam_reads[:50], by_pos[:50]):
+        assert got.pos == want.pos
+        assert got.cigar_str == want.cigar_str
+        assert got.flag == want.flag
+
+
+@pytest.fixture(scope="module")
+def run_output(workdir, index_dir, bam_file, settings_file):
+    from miso_tpu.cli.main import main as miso_main
+    out = str(workdir / "output")
+    rc = miso_main(["--run", index_dir, bam_file,
+                    "--output-dir", out, "--read-len", "36",
+                    "--settings-filename", settings_file])
+    assert rc == 0
+    return out
+
+
+def test_run_produces_miso_file(run_output):
+    from miso_tpu.io.miso_file import load_miso_file
+    chrom_dir = os.path.join(run_output, "10")
+    assert os.path.isdir(chrom_dir), os.listdir(run_output)
+    miso_files = [f for f in os.listdir(chrom_dir) if f.endswith(".miso")]
+    assert len(miso_files) == 1
+    data = load_miso_file(os.path.join(chrom_dir, miso_files[0]))
+    assert data is not None
+    # 2 isoforms; psi in (0,1); header parity fields
+    assert data.samples.shape[1] == 2
+    assert np.all(data.samples >= 0) and np.all(data.samples <= 1)
+    assert np.allclose(data.samples.sum(axis=1), 1.0, atol=2e-4)
+    for key in ["isoforms", "exon_lens", "iters", "burn_in", "lag",
+                "percent_accept", "proposal_type", "counts",
+                "assigned_counts", "chrom", "strand", "mRNA_starts",
+                "mRNA_ends"]:
+        assert key in data.params, key
+    assert data.params["chrom"] == "10"
+    assert data.params["strand"] == "+"
+    # sampler metadata matches settings
+    assert data.params["iters"] == "600"
+
+
+def test_rerun_is_idempotent(run_output, index_dir, bam_file, settings_file,
+                             capsys):
+    from miso_tpu.cli.main import main as miso_main
+    rc = miso_main(["--run", index_dir, bam_file,
+                    "--output-dir", run_output, "--read-len", "36",
+                    "--settings-filename", settings_file])
+    assert rc == 0
+    assert "exists, not running" in capsys.readouterr().out
+
+
+def test_summarize(workdir, run_output):
+    from miso_tpu.cli.summarize import main as summarize_main
+    out = str(workdir / "summary_out")
+    rc = summarize_main(["--summarize-samples", run_output, out])
+    assert rc == 0
+    summary = os.path.join(out, "summary", "output.miso_summary")
+    assert os.path.isfile(summary)
+    lines = open(summary).read().splitlines()
+    assert lines[0].startswith("event_name\tmiso_posterior_mean\tci_low")
+    assert len(lines) == 2
+    fields = lines[1].split("\t")
+    mean = float(fields[1])
+    ci_low, ci_high = float(fields[2]), float(fields[3])
+    assert 0 <= ci_low <= mean <= ci_high <= 1
+
+
+def test_compare(workdir, run_output):
+    from miso_tpu.cli.compare import main as compare_main
+    out = str(workdir / "comparison_out")
+    rc = compare_main(["--compare-samples", run_output, run_output, out])
+    assert rc == 0
+    bf_file = os.path.join(out, "output_vs_output", "bayes-factors",
+                           "output_vs_output.miso_bf")
+    assert os.path.isfile(bf_file)
+    lines = open(bf_file).read().splitlines()
+    assert len(lines) == 2
+    fields = dict(zip(lines[0].split("\t"), lines[1].split("\t")))
+    # same sample vs itself: delta ~ 0, BF ~ 0 (posterior peaked at null)
+    assert abs(float(fields["diff"])) < 0.02
+    assert float(fields["bayes_factor"]) < 1.0
+
+
+def test_filter_events(workdir):
+    from miso_tpu.cli.filter_events import main as filter_main
+    bf_file = os.path.join(str(workdir), "comparison_out",
+                           "output_vs_output", "bayes-factors",
+                           "output_vs_output.miso_bf")
+    out = str(workdir / "filtered")
+    rc = filter_main(["--filter", bf_file, "--output-dir", out,
+                      "--bayes-factor", "10"])
+    assert rc == 0
+    filtered = os.path.join(out, "output_vs_output.miso_bf.filtered")
+    lines = open(filtered).read().splitlines()
+    assert len(lines) == 1  # header only: same-vs-same has BF ~ 0
+
+
+def test_pack_and_db_read(workdir, run_output):
+    import shutil
+    from miso_tpu.cli.pack import pack_dir
+    from miso_tpu.io.miso_file import MISOSamples
+    packed = str(workdir / "packed_output")
+    shutil.copytree(run_output, packed)
+    names_before = MISOSamples(run_output).all_event_names
+    assert pack_dir(packed) == 1
+    assert not os.path.isdir(os.path.join(packed, "10"))
+    assert os.path.isfile(os.path.join(packed, "10.miso_db"))
+    obj = MISOSamples(packed)
+    assert sorted(obj.all_event_names) == sorted(names_before)
+    data = obj.get_event_samples(names_before[0])
+    assert data is not None and data.samples.shape[1] == 2

@@ -1,0 +1,139 @@
+"""Tool-layer tests against the reference's real binary fixtures:
+externally-generated BAMs (samtools-produced BGZF), reference-produced
+.miso files, sashimi plotting, exon/pe utilities."""
+import os
+
+import numpy as np
+import pytest
+
+SASHIMI_DATA = "/root/reference/misopy/sashimi_plot/test-data"
+EVENTS_GFF = os.path.join(SASHIMI_DATA, "events.gff")
+BAM = os.path.join(SASHIMI_DATA, "bam-data", "heartWT1.sorted.bam")
+MISO_DATA = os.path.join(SASHIMI_DATA, "miso-data")
+ATP_GFF = "/root/reference/misopy/gff-events/mm9/genes/Atp2b1.mm9.gff"
+
+EVENT = ("chr17:45816186:45816265:-@chr17:45815912:45815950:-"
+         "@chr17:45814875:45814965:-")
+
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(SASHIMI_DATA), reason="reference fixtures not mounted")
+
+
+def test_bam_reader_on_samtools_bam():
+    from miso_tpu.io.sam import BamReader
+    reader = BamReader(BAM)
+    assert "chr17" in reader.references
+    reads = list(reader)
+    assert len(reads) > 50
+    r = reads[0]
+    assert r.rname.startswith("chr")
+    assert r.cigar is not None and r.pos >= 0
+    # region fetch over the fixture event
+    region = list(reader.fetch("chr17", 45814875, 45816265))
+    assert len(region) > 10
+    assert all(rr.pos < 45816265 for rr in region)
+
+
+def test_load_reference_produced_miso_file():
+    from miso_tpu.io.miso_file import MISOSamples, load_miso_file
+    obj = MISOSamples(os.path.join(MISO_DATA, "heartWT1"))
+    assert EVENT in obj.all_event_names
+    data = obj.get_event_samples(EVENT)
+    assert data is not None
+    assert data.samples.shape[1] == 2
+    assert np.all((data.samples >= 0) & (data.samples <= 1))
+    # legacy-format header: no chrom/strand fields -> "NA" fallback
+    # (samples_utils.py:214-228)
+    from miso_tpu.io.miso_file import get_gene_info_from_params
+    assert get_gene_info_from_params(data.params)["strand"] == "NA"
+    assert data.params["counts"] == "(0,1):1,(1,0):21,(1,1):23"
+
+
+def test_summarize_reference_dir(tmp_path):
+    from miso_tpu.io.miso_file import summarize_sampler_results
+    out = tmp_path / "wt1.miso_summary"
+    n = summarize_sampler_results(os.path.join(MISO_DATA, "heartWT1"),
+                                  str(out))
+    assert n == 1
+    lines = out.read_text().splitlines()
+    assert len(lines) == 2
+
+
+def test_compare_reference_dirs(tmp_path):
+    from miso_tpu.io.comparison import output_samples_comparison
+    path = output_samples_comparison(
+        os.path.join(MISO_DATA, "heartWT1"),
+        os.path.join(MISO_DATA, "heartKOa"),
+        str(tmp_path))
+    lines = open(path).read().splitlines()
+    assert len(lines) == 2
+    fields = dict(zip(lines[0].split("\t"), lines[1].split("\t")))
+    assert 0 <= abs(float(fields["diff"])) <= 1
+    assert float(fields["bayes_factor"]) >= 0
+
+
+@pytest.fixture(scope="module")
+def sashimi_settings(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sashimi")
+    p = d / "settings.txt"
+    p.write_text("""\
+[data]
+bam_prefix = %s
+miso_prefix = %s
+bam_files = ["heartWT1.sorted.bam", "heartKOa.sorted.bam"]
+miso_files = ["heartWT1", "heartKOa"]
+
+[plotting]
+fig_width = 7
+fig_height = 5
+intron_scale = 30
+exon_scale = 4
+colors = ["#CC0011", "#FF8800"]
+show_posteriors = True
+""" % (os.path.join(SASHIMI_DATA, "bam-data"), MISO_DATA))
+    return str(p)
+
+
+@pytest.fixture(scope="module")
+def events_index(tmp_path_factory):
+    from miso_tpu.io.index import index_gff
+    out = str(tmp_path_factory.mktemp("events_index"))
+    assert index_gff(EVENTS_GFF, out)
+    return out
+
+
+def test_sashimi_plot_event(events_index, sashimi_settings, tmp_path):
+    from miso_tpu.plot.sashimi import plot_event
+    out = plot_event(EVENT, events_index, sashimi_settings, str(tmp_path))
+    assert os.path.isfile(out) and os.path.getsize(out) > 5000
+
+
+def test_plot_bf_dist(tmp_path, sashimi_settings):
+    from miso_tpu.io.comparison import output_samples_comparison
+    from miso_tpu.plot.sashimi import plot_bf_dist
+    bf = output_samples_comparison(
+        os.path.join(MISO_DATA, "heartWT1"),
+        os.path.join(MISO_DATA, "heartKOa"), str(tmp_path))
+    out = plot_bf_dist(bf, sashimi_settings, str(tmp_path))
+    assert os.path.isfile(out)
+
+
+def test_const_exons(tmp_path):
+    from miso_tpu.cli.exon_utils import get_const_exons_by_gene
+    out = get_const_exons_by_gene(ATP_GFF, str(tmp_path), min_size=0)
+    from miso_tpu.io.gff import read_gff
+    exons = read_gff(out)
+    assert len(exons) > 0
+    assert all(e.type == "exon" for e in exons)
+    assert all("GeneParent" in e.attributes for e in exons)
+
+
+def test_pe_utils_runs(tmp_path):
+    from miso_tpu.cli.exon_utils import get_const_exons_by_gene
+    from miso_tpu.cli.pe_utils import compute_insert_len
+    const = get_const_exons_by_gene(EVENTS_GFF, str(tmp_path), min_size=0,
+                                    all_constitutive=True)
+    out = compute_insert_len(BAM, const, str(tmp_path), min_exon_size=10)
+    assert os.path.isfile(out)
+    header = open(out).readline()
+    assert header.startswith("#mean=")
