@@ -12,6 +12,7 @@ events/s divided by that target.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
 import sys
 import time
 
@@ -46,6 +47,13 @@ def build_catalog(num_events, reads_per_event=200, seed=0):
 
 def main():
     import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.path.join(os.path.dirname(
+                              os.path.abspath(__file__)), ".jax_cache"))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
     from miso_tpu.sampler.mcmc import SamplerConfig, run_batch
 
     num_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
@@ -53,13 +61,18 @@ def main():
     batch = build_catalog(num_events)
     key = jax.random.PRNGKey(0)
 
+    if jax.default_backend() == "tpu":
+        from miso_tpu.sampler.pallas_kernel import run_batch_pallas as runner
+    else:
+        runner = run_batch
+
     # compile + warmup (force a full device->host fetch; on the tunneled
     # remote backend block_until_ready alone may not round-trip)
-    res = run_batch(key, batch, cfg)
+    res = runner(key, batch, cfg)
     np.asarray(res.accepted)
 
     t0 = time.perf_counter()
-    res = run_batch(jax.random.PRNGKey(1), batch, cfg)
+    res = runner(jax.random.PRNGKey(1), batch, cfg)
     jax.block_until_ready(res)
     np.asarray(res.accepted)
     dt = time.perf_counter() - t0

@@ -104,12 +104,19 @@ def main(argv=None) -> int:
         frag_variance=(args.paired_end[1] ** 2) if paired else None,
     )
     os.makedirs(args.output_dir, exist_ok=True)
+    index_dir = os.path.abspath(os.path.expanduser(index_dir))
+    reads = os.path.abspath(os.path.expanduser(reads))
+    gene_ids = None
+    if args.prefilter:
+        from miso_tpu.io.sanity import get_ids_passing_filter
+        gene_ids = get_ids_passing_filter(
+            index_dir, reads, min_reads=settings.get_min_event_reads())
+        print("Prefilter: %d genes pass the coverage filter"
+              % len(gene_ids))
     compute_all_genes_psi(
-        os.path.abspath(os.path.expanduser(index_dir)),
-        os.path.abspath(os.path.expanduser(reads)),
-        args.read_len,
+        index_dir, reads, args.read_len,
         os.path.abspath(os.path.expanduser(args.output_dir)),
-        cfg=cfg, settings=settings, seed=args.seed)
+        cfg=cfg, settings=settings, seed=args.seed, gene_ids=gene_ids)
     return 0
 
 

@@ -213,8 +213,7 @@ def pad_events(
     log_iso_w = np.full((E, I), NEG_INF, dtype)
     hyper = np.ones((E, I), dtype)
     num_iso = np.zeros((E,), np.int32)
-    NEG_BIG = -1e30  # sampler/model.py NEG_BIG
-    read_logw = np.full((E, R, I), NEG_BIG, dtype)
+    read_w = np.zeros((E, R, I), dtype)
     read_logscore = np.zeros((E, R, I), dtype)
     for e, ev in enumerate(events):
         k, c = ev.num_iso, ev.num_classes
@@ -228,15 +227,11 @@ def pad_events(
         # Gibbs step then needs no gathers (see gibbs_reassign_perread)
         rc = np.repeat(np.arange(c, dtype=np.int64),
                        ev.counts.astype(np.int64))
-        with np.errstate(divide="ignore"):
-            logw = np.where(ev.weights > 0, np.log(np.maximum(ev.weights,
-                                                              1e-300)),
-                            NEG_BIG)
-        read_logw[e, :len(rc), :k] = logw[rc]
+        read_w[e, :len(rc), :k] = ev.weights[rc]
         read_logscore[e, :len(rc), :k] = ev.log_read[rc]
     return dict(weights=weights, log_read=log_read, counts=counts,
                 log_iso_w=log_iso_w, hyper=hyper, num_iso=num_iso,
-                read_logw=read_logw, read_logscore=read_logscore)
+                read_w=read_w, read_logscore=read_logscore)
 
 
 def bucket_events(

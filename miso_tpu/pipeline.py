@@ -51,6 +51,8 @@ class RunConfig:
     strand_rule: Optional[str] = None
     max_batch_events: int = 4096
     filter_read_len: Optional[int] = None  # drop reads of other lengths
+    # 'auto': fused Pallas kernel on TPU, XLA sampler elsewhere
+    backend: str = "auto"
 
     @classmethod
     def from_settings(cls, settings: Settings, read_len: int, **kw):
@@ -137,9 +139,17 @@ def run_events(
                                                   gibbs="multinomial")
             key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
                                      * 131071 + pad_classes * 8191)
+            backend = cfg.backend
+            if backend == "auto":
+                backend = ("pallas" if jax.default_backend() == "tpu"
+                           and cfg.algorithm == "reassign"
+                           and sampler_cfg.gibbs == "perread" else "xla")
             if mesh is not None:
                 from miso_tpu.parallel.mesh import run_batch_sharded
                 res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh)
+            elif backend == "pallas":
+                from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+                res = run_batch_pallas(key, batch, sampler_cfg)
             else:
                 res = run_batch(key, batch, sampler_cfg)
             flat = np.asarray(res.flat_samples())
@@ -194,8 +204,13 @@ def compute_all_genes_psi(
     Ref: misopy/miso.py:340-425 + run_miso.py:34-202, collapsed into one
     process with device-side batch parallelism.
     """
+    from miso_tpu.io.sanity import check_gff_and_bam, setup_logger
+
     settings = settings or Settings.get()
     cfg = cfg or RunConfig.from_settings(settings, read_len)
+    setup_logger(output_dir)
+    check_gff_and_bam(index_dir, alignments_path,
+                      given_read_len=cfg.filter_read_len)
 
     t0 = time.time()
     id_to_fname = get_gene_ids_to_filenames(index_dir)

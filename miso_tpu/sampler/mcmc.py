@@ -55,7 +55,7 @@ class EventBatch(NamedTuple):
     log_iso_w: jnp.ndarray
     hyper: jnp.ndarray
     num_iso: jnp.ndarray
-    read_logw: jnp.ndarray      # (E, R, I) per-read log class weights
+    read_w: jnp.ndarray         # (E, R, I) per-read class weights (linear)
     read_logscore: jnp.ndarray  # (E, R, I) per-read log score by isoform
 
     @property
@@ -116,6 +116,74 @@ class SamplerResult(NamedTuple):
         return self.loglik.reshape(E, R * K)
 
 
+def run_batch_convergent(
+    key: jnp.ndarray,
+    events: EventBatch,
+    cfg: SamplerConfig,
+    max_iters: int = 500000,
+    rhat_threshold: float = 1.1,
+):
+    """Convergent-mean stopping with adaptive extension.
+
+    The reference checks Gelman-Rubin R-hat <= 1.1 after each block and,
+    if unconverged, continues the chain with
+    noIter' = 3*noIter - 2*burnIn, burnIn' = noIter
+    (pysplicing/src/miso.c:903-928).  Here the whole batch runs a block,
+    then ONLY the unconverged events re-run as a continuation batch
+    (GIVEN start from their final psi) -- masked continuation instead of
+    per-event while-loops.
+
+    Returns (results, iters_used): per-event SamplerResult-like dicts.
+    """
+    from miso_tpu.stats.rhat import batch_rhat
+
+    E = events.num_events
+    results: list = [None] * E
+    iters_used = np.zeros(E, dtype=np.int64)
+    remaining = np.arange(E)
+    cur_cfg = cfg
+    start_psi = None
+    round_i = 0
+    while len(remaining):
+        sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
+        sp = None if start_psi is None else start_psi[remaining]
+        res = run_batch(jax.random.fold_in(key, round_i), sub, cur_cfg,
+                        start_psi=None if sp is None else jnp.asarray(sp))
+        rh = np.asarray(batch_rhat(res.psi_samples))  # (Esub, I)
+        iso_mask = (np.arange(events.weights.shape[2])[None, :]
+                    < np.asarray(sub.num_iso)[:, None])
+        conv = np.all(np.where(iso_mask, rh <= rhat_threshold, True),
+                      axis=1)
+        next_iters = 3 * cur_cfg.iters - 2 * cur_cfg.burn_in
+        if next_iters > max_iters:
+            conv = np.ones_like(conv)  # maxIterations cap (miso.c:908)
+        flat = np.asarray(res.flat_samples())
+        ll = np.asarray(res.flat_loglik())
+        acc = np.asarray(res.accepted)
+        rej = np.asarray(res.rejected)
+        fn = np.asarray(res.final_n)
+        for j, e in enumerate(remaining):
+            iters_used[e] = cur_cfg.iters
+            if conv[j]:
+                results[e] = {
+                    "samples": flat[j], "loglik": ll[j],
+                    "accepted": acc[j], "rejected": rej[j],
+                    "final_n": fn[j],
+                }
+        new_remaining = remaining[~conv]
+        if len(new_remaining) == 0:
+            break
+        fp = np.zeros((E,) + np.asarray(res.final_psi).shape[1:],
+                      dtype=np.float32)
+        fp[remaining] = np.asarray(res.final_psi)
+        start_psi = fp
+        remaining = new_remaining
+        cur_cfg = dataclasses.replace(
+            cur_cfg, iters=next_iters, burn_in=cur_cfg.iters)
+        round_i += 1
+    return results, iters_used
+
+
 class _ChainState(NamedTuple):
     key: jnp.ndarray
     alpha: jnp.ndarray       # (I-1,)
@@ -140,7 +208,7 @@ def _joint_score(psi, st_n, read_prob, ev, masks, algorithm):
 def _gibbs(kg, psi, ev, masks, gibbs: str):
     if gibbs == "perread":
         return model.gibbs_reassign_perread(
-            kg, psi, ev.read_logw, ev.read_logscore, masks)
+            kg, psi, ev.read_w, ev.read_logscore, masks)
     draws = model.gibbs_reassign(kg, psi, ev.weights, ev.counts, masks)
     return jnp.sum(draws, axis=0), jnp.sum(draws * ev.log_read)
 
@@ -184,18 +252,27 @@ def _make_step(ev, masks: EventMasks, algorithm: str, gibbs: str):
 
 
 def _init_state(key, ev, masks: EventMasks, algorithm: str, gibbs: str,
-                dtype):
+                dtype, start_psi=None):
     """Chain init: AUTO start (miso.c:348-371) followed by one proposal
     (miso.c:834, which overwrites both alpha and psi), then the initial
-    Gibbs assignment (miso.c:840-843)."""
+    Gibbs assignment (miso.c:840-843).  With `start_psi`, the GIVEN start
+    (miso.c:405-409): alpha = logit(start_psi)."""
     I = ev.log_iso_w.shape[0]
     kf = (masks.k - 1).astype(dtype)
-    # AUTO: alpha = 1/(k-1) for k != 2, else 0 (miso.c:356-367)
-    alpha0 = jnp.where(
-        masks.amask,
-        jnp.where(masks.k == 2, 0.0, 1.0 / jnp.maximum(kf, 1.0)),
-        0.0,
-    ).astype(dtype)
+    if start_psi is not None:
+        last = jnp.sum(start_psi * masks.last_onehot)
+        alpha0 = jnp.where(
+            masks.amask,
+            jnp.log(jnp.maximum(start_psi[:-1], 1e-30))
+            - jnp.log(jnp.maximum(last, 1e-30)),
+            0.0).astype(dtype)
+    else:
+        # AUTO: alpha = 1/(k-1) for k != 2, else 0 (miso.c:356-367)
+        alpha0 = jnp.where(
+            masks.amask,
+            jnp.where(masks.k == 2, 0.0, 1.0 / jnp.maximum(kf, 1.0)),
+            0.0,
+        ).astype(dtype)
     key, kp, kg = jax.random.split(key, 3)
     eps = jax.random.normal(kp, (I - 1,), dtype)
     alpha, psi = model.propose(alpha0, eps, masks)
@@ -211,12 +288,13 @@ def _init_state(key, ev, masks: EventMasks, algorithm: str, gibbs: str,
     )
 
 
-def _run_chain(key, ev, num_iso, cfg: SamplerConfig):
+def _run_chain(key, ev, num_iso, cfg: SamplerConfig, start_psi=None):
     """Full sampler for one (event, chain). Returns records + final state."""
     dtype = jnp.dtype(cfg.dtype)
     masks = model.make_masks(num_iso, ev.log_iso_w.shape[0])
     step = _make_step(ev, masks, cfg.algorithm, cfg.gibbs)
-    st = _init_state(key, ev, masks, cfg.algorithm, cfg.gibbs, dtype)
+    st = _init_state(key, ev, masks, cfg.algorithm, cfg.gibbs, dtype,
+                     start_psi=start_psi)
 
     if cfg.burn_in > 0:
         st, _ = jax.lax.scan(step, st, None, length=cfg.burn_in)
@@ -237,21 +315,32 @@ def _run_chain(key, ev, num_iso, cfg: SamplerConfig):
 
 @functools.partial(jax.jit, static_argnames=("cfg",))
 def run_batch(key: jnp.ndarray, events: EventBatch,
-              cfg: SamplerConfig) -> SamplerResult:
+              cfg: SamplerConfig,
+              start_psi: Optional[jnp.ndarray] = None) -> SamplerResult:
     """Run the sampler over a padded batch of events.
 
     vmap layout: chains innermost, events outermost, so per-event tensors
-    are broadcast across chains without replication.
+    are broadcast across chains without replication.  Optional
+    `start_psi` (E, K, I) switches to the GIVEN start (used by the
+    convergent-mean continuation).
     """
     E, K = events.num_events, cfg.chains
     keys = jax.random.split(key, E * K).reshape(E, K, 2)
 
-    def one_event(*fields):
-        ev = EventBatch(*fields[1:])
+    def one_event(ks, sp, *fields):
+        ev = EventBatch(*fields)
+        if sp is None:
+            return jax.vmap(
+                lambda k: _run_chain(k, ev, ev.num_iso, cfg))(ks)
         return jax.vmap(
-            lambda k: _run_chain(k, ev, ev.num_iso, cfg))(fields[0])
+            lambda k, s: _run_chain(k, ev, ev.num_iso, cfg, start_psi=s)
+        )(ks, sp)
 
-    psis, logliks, st = jax.vmap(one_event)(keys, *events)
+    if start_psi is None:
+        psis, logliks, st = jax.vmap(
+            lambda ks, *f: one_event(ks, None, *f))(keys, *events)
+    else:
+        psis, logliks, st = jax.vmap(one_event)(keys, start_psi, *events)
 
     # psis: (E, K, R, I) from vmap(chains) of (R, I) -> transpose to (E,R,K,I)
     psi_samples = jnp.swapaxes(psis, 1, 2)

@@ -147,28 +147,37 @@ def score_marginal(psi, weights, counts):
 NEG_BIG = -1e30  # finite stand-in for -inf in per-read tiles (f32-safe)
 
 
-def gibbs_reassign_perread(key, psi, read_logw, read_logscore,
+def gibbs_reassign_perread(key, psi, read_w, read_logscore,
                            masks: EventMasks):
-    """Per-read categorical Gibbs reassignment via Gumbel-argmax.
+    """Per-read categorical Gibbs reassignment via inverse-CDF.
 
     The literal TPU form of the reference's per-read sampling loop
-    (pysplicing/src/miso.c:30-91): read r draws isoform j with probability
-    psi_j * W_(c_r)j / sum.  The per-read weight rows are expanded on the
-    HOST (they are static per event), so the device step is pure
-    elementwise + reductions -- no gathers (TPU gathers serialize), no
-    rejection-sampling control flow (chained binomials serialize).
+    (pysplicing/src/miso.c:30-91, the CUMSUM trick at :11-22): read r
+    draws isoform j with probability psi_j * W_(c_r)j / sum_j.  The
+    per-read weight rows are expanded on the HOST (static per event), so
+    the device step is one uniform draw + a cumulative-sum compare per
+    read -- no gathers (TPU gathers serialize), no rejection-sampling
+    control flow (chained binomials serialize), no transcendentals
+    (cheaper than Gumbel-argmax).
 
-    read_logw:     (R, I) log W[class(r), i], NEG_BIG where incompatible
-                   or padding.
+    read_w:        (R, I) class weights W[class(r), i], 0 where
+                   incompatible or padding.
     read_logscore: (R, I) per-read log score by assigned isoform.
     Returns (n_per_iso (I,), read_prob ()).
     """
-    logpsi = jnp.log(jnp.maximum(psi, 1e-38))
-    lr = logpsi[None, :] + read_logw                   # (R, I)
-    g = jax.random.gumbel(key, lr.shape, lr.dtype)
-    choice = jnp.argmax(lr + g, axis=1)                # (R,)
-    valid = jnp.any(read_logw > NEG_BIG / 2, axis=1)   # (R,)
-    onehot = (choice[:, None] == jnp.arange(lr.shape[1])[None, :])
+    rw = psi[None, :] * read_w                          # (R, I)
+    cum = jnp.cumsum(rw, axis=1)
+    total = cum[:, -1:]
+    valid = total[:, 0] > 0
+    u = jax.random.uniform(key, (rw.shape[0], 1), rw.dtype) * total
+    # choice = index of first cum >= u; onehot via adjacent compare
+    ge = cum >= u                                       # (R, I) monotone
+    onehot = jnp.logical_and(
+        ge, jnp.logical_not(
+            jnp.pad(ge[:, :-1], ((0, 0), (1, 0)), constant_values=False)))
+    # u == 0 exactly (p ~ 2^-24 per draw in f32) would land on a leading
+    # zero-weight isoform; such draws are dropped instead
+    onehot = jnp.logical_and(onehot, rw > 0)
     onehot = jnp.where(valid[:, None], onehot, False).astype(psi.dtype)
     n = jnp.sum(onehot, axis=0)
     read_prob = jnp.sum(onehot * read_logscore)

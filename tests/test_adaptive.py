@@ -1,0 +1,72 @@
+"""Convergent-mean adaptive stopping + R-hat diagnostics."""
+import numpy as np
+
+import jax
+
+from miso_tpu.core.events import compile_single_end, pad_events
+from miso_tpu.core.gene import make_gene
+from miso_tpu.core.simulate import simulate_reads
+from miso_tpu.sampler.mcmc import (EventBatch, SamplerConfig, run_batch,
+                                   run_batch_convergent)
+from miso_tpu.stats.rhat import batch_rhat, extended_iterations, rhat
+
+
+def _events(n=3, seed=0):
+    rng = np.random.default_rng(seed)
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+    evs = []
+    for e in range(n):
+        psi = rng.uniform(0.2, 0.8)
+        _, pos, cig = simulate_reads(g, [psi, 1 - psi], 1000, 25, rng)
+        evs.append(compile_single_end(g, pos, cig, read_len=25,
+                                      name="ev%d" % e))
+    return evs
+
+
+def test_rhat_converged_chain():
+    # well-mixed chains: R-hat near 1
+    rng = np.random.default_rng(0)
+    samples = rng.normal(0.5, 0.05, size=(200, 4, 2))
+    r = np.asarray(rhat(samples))
+    assert np.all(r < 1.05), r
+
+
+def test_rhat_detects_divergent_chains():
+    rng = np.random.default_rng(1)
+    samples = rng.normal(0.5, 0.01, size=(200, 4, 2))
+    samples[:, 0, :] += 0.5  # one chain stuck elsewhere
+    r = np.asarray(rhat(samples))
+    assert np.any(r > 1.1), r
+
+
+def test_extension_rule():
+    # miso.c:922: noIter' = 3*noIter - 2*burnIn
+    assert extended_iterations(5000, 500) == 14000
+
+
+def test_convergent_batch_runs():
+    evs = _events(3)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events(evs).items()})
+    cfg = SamplerConfig(iters=600, burn_in=100, lag=5, chains=4)
+    results, iters_used = run_batch_convergent(
+        jax.random.PRNGKey(0), batch, cfg, max_iters=6000)
+    assert all(r is not None for r in results)
+    for r in results:
+        assert r["samples"].shape[1] == batch.weights.shape[2]
+        assert np.all((r["samples"].sum(axis=1) - 1.0) < 1e-3)
+    assert np.all(iters_used >= 600)
+
+
+def test_given_start():
+    evs = _events(1, seed=5)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events(evs).items()})
+    cfg = SamplerConfig(iters=400, burn_in=100, lag=5, chains=2)
+    K, I = cfg.chains, batch.weights.shape[2]
+    start = np.full((1, K, I), 0.5, np.float32)
+    res = run_batch(jax.random.PRNGKey(1), batch, cfg,
+                    start_psi=np.asarray(start))
+    s = np.asarray(res.flat_samples())[0]
+    assert not np.isnan(s).any()
+    assert np.allclose(s.sum(axis=1), 1.0, atol=1e-5)

@@ -1,0 +1,89 @@
+"""Assignment-matrix, NNLS deconvolution, and complexity tests."""
+import numpy as np
+
+from miso_tpu.core.assignment import (assignment_matrix, gene_complexity,
+                                      local_cigar, nnls,
+                                      norm_assignment_matrix, solve_gene)
+from miso_tpu.core.gene import make_gene
+from miso_tpu.core.matching import match_iso
+from miso_tpu.core.simulate import simulate_reads
+
+
+def two_iso_gene():
+    return make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+
+
+def test_local_cigar_within_exon():
+    g = two_iso_gene()
+    starts, ends = g.iso_exons(0)
+    assert local_cigar(starts, ends, 10, 20) == (20,)
+
+
+def test_local_cigar_junction():
+    g = two_iso_gene()
+    starts, ends = g.iso_exons(1)  # exons 1-100, 151-250
+    # read of 20 starting at 91: 10 in exon1, skip 50, 10 in exon3
+    assert local_cigar(starts, ends, 91, 20) == (10, -50, 10)
+
+
+def test_local_cigar_incompatible():
+    g = two_iso_gene()
+    starts, ends = g.iso_exons(1)
+    assert local_cigar(starts, ends, 120, 20) is None  # intron of iso1
+
+
+def test_assignment_matrix_weights_cover_positions():
+    g = two_iso_gene()
+    rl = 20
+    A = assignment_matrix(g, rl)
+    # total weight per isoform row = number of valid start positions
+    # = effective length (isolen - rl + 1)
+    per_iso = A.sum(axis=1)
+    assert per_iso[0] == g.iso_length(0) - rl + 1
+    assert per_iso[1] == g.iso_length(1) - rl + 1
+    # every read class the matcher can produce corresponds to a column
+    norm = norm_assignment_matrix(A)
+    assert np.allclose(norm.sum(axis=1), 1.0)
+
+
+def test_assignment_matrix_consistent_with_matcher():
+    """Every genomic position's matcher support pattern must appear in the
+    assignment matrix with the right multiplicity."""
+    g = two_iso_gene()
+    rl = 20
+    A = assignment_matrix(g, rl)
+    support_weight = {}
+    for c in range(A.shape[1]):
+        key = tuple((A[:, c] > 0).astype(int))
+        support_weight[key] = support_weight.get(key, 0) + A[:, c].max()
+    # brute-force: use per-isoform local cigars at every genomic position
+    from miso_tpu.core.assignment import local_cigar
+    brute = {}
+    lo, hi = g.genomic_span()
+    for gpos in range(lo, hi - rl + 2):
+        cigs = {}
+        for i in range(g.num_isoforms):
+            starts, ends = g.iso_exons(i)
+            c = local_cigar(starts, ends, gpos, rl)
+            if c is not None:
+                cigs.setdefault(c, []).append(i)
+        for c, members in cigs.items():
+            key = tuple(1 if i in members else 0
+                        for i in range(g.num_isoforms))
+            brute[key] = brute.get(key, 0) + 1
+    assert support_weight == brute, (support_weight, brute)
+
+
+def test_nnls_recovers_expression():
+    g = two_iso_gene()
+    rng = np.random.default_rng(0)
+    true_psi = np.array([0.7, 0.3])
+    _, pos, cig = simulate_reads(g, true_psi, 20000, 20, rng)
+    expr, resid = solve_gene(g, 20, 1, pos, cig)
+    assert abs(expr[0] - 0.7) < 0.05, expr
+
+
+def test_complexity_finite():
+    g = two_iso_gene()
+    c = gene_complexity(g, 20)
+    assert np.isfinite(c) and c >= 1.0

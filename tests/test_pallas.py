@@ -1,0 +1,67 @@
+"""Fused Pallas sampler kernel tests.
+
+These require a real TPU: the Mosaic interpreter in this JAX version does
+not implement the on-core PRNG (prng_random_bits returns zeros), so the
+kernel cannot be validated on CPU.  The driver's TPU bench exercises it
+every round; this file auto-skips on CPU-only runs.
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+pytestmark = pytest.mark.skipif(
+    jax.default_backend() not in ("tpu",),
+    reason="Pallas sampler kernel needs a real TPU (interpreter PRNG "
+           "returns zeros)")
+
+
+def _compile_demo(psi, n_reads=2000, seed=42):
+    from miso_tpu.core.events import compile_single_end, pad_events
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.sampler.mcmc import EventBatch
+
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+    rng = np.random.default_rng(seed)
+    _, pos, cig = simulate_reads(g, psi, n_reads, 25, rng)
+    ev = compile_single_end(g, pos, cig, read_len=25)
+    return ev
+
+
+def test_pallas_matches_exact_posterior():
+    from exact_posterior import exact_posterior_mean_2iso
+    from miso_tpu.core.events import pad_events
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig
+    from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+
+    ev = _compile_demo([0.7, 0.3])
+    exact = exact_posterior_mean_2iso(ev)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev] * 8).items()})
+    cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=4)
+    res = run_batch_pallas(jax.random.PRNGKey(0), batch, cfg)
+    s = np.asarray(res.flat_samples())
+    means = s[:, :, 0].mean(axis=1)
+    assert np.all(np.abs(means - exact) < 0.02), (means, exact)
+
+
+def test_pallas_agrees_with_xla_sampler():
+    from miso_tpu.core.events import pad_events
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
+    from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+
+    ev = _compile_demo([0.4, 0.6], seed=3)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev]).items()})
+    cfg = SamplerConfig(iters=1200, burn_in=300, lag=5, chains=4)
+    r1 = run_batch_pallas(jax.random.PRNGKey(0), batch, cfg)
+    r2 = run_batch(jax.random.PRNGKey(0), batch, cfg)
+    m1 = float(np.asarray(r1.flat_samples())[0, :, 0].mean())
+    m2 = float(np.asarray(r2.flat_samples())[0, :, 0].mean())
+    assert abs(m1 - m2) < 0.02, (m1, m2)
+    a1 = float(r1.accepted[0]) / (float(r1.accepted[0]) + float(r1.rejected[0]))
+    a2 = float(r2.accepted[0]) / (float(r2.accepted[0]) + float(r2.rejected[0]))
+    assert abs(a1 - a2) < 0.05, (a1, a2)
