@@ -42,7 +42,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--job-name", dest="job_name", default=None)
     p.add_argument("--SGEarray", action="store_true", default=False)
     p.add_argument("--no-wait", action="store_true", default=False)
+    p.add_argument("--algorithm", dest="algorithm", default="reassign",
+                   choices=["reassign", "marginal", "classes"],
+                   help="Inference scheme (reference: "
+                        "SPLICING_ALGO_* in splicing.h:59-62; 'classes' "
+                        "is the fast read-class scheme).")
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--coordinator", dest="coordinator", default=None,
+                   help="Multi-host: coordinator address host:port "
+                        "(replaces the reference's qsub cluster layer).")
+    p.add_argument("--num-hosts", dest="num_hosts", type=int, default=None)
+    p.add_argument("--host-id", dest="host_id", type=int, default=None)
     p.add_argument("--use-compressed", dest="use_compressed", default=None)
     p.add_argument("--view-gene", dest="view_gene", default=None,
                    help="Inspect an indexed gene pickle file.")
@@ -88,6 +98,11 @@ def main(argv=None) -> int:
         return 1
 
     settings = Settings.load(args.settings_filename)
+    multihost = False
+    if args.coordinator or args.num_hosts:
+        from miso_tpu.parallel.distributed import initialize_distributed
+        multihost = initialize_distributed(
+            args.coordinator, args.num_hosts, args.host_id)
     index_dir, reads = args.compute_genes_psi
     paired = args.paired_end is not None
     overhang = 1
@@ -99,6 +114,7 @@ def main(argv=None) -> int:
     cfg = RunConfig.from_settings(
         settings, args.read_len,
         overhang_len=overhang,
+        algorithm=args.algorithm,
         paired_end=paired,
         mean_frag_len=args.paired_end[0] if paired else None,
         frag_variance=(args.paired_end[1] ** 2) if paired else None,
@@ -107,10 +123,17 @@ def main(argv=None) -> int:
     index_dir = os.path.abspath(os.path.expanduser(index_dir))
     reads = os.path.abspath(os.path.expanduser(reads))
     gene_ids = None
+    if multihost:
+        from miso_tpu.io.index import get_gene_ids_to_filenames
+        from miso_tpu.parallel.distributed import host_shard
+        gene_ids = host_shard(sorted(get_gene_ids_to_filenames(index_dir)))
+        print("Host shard: %d genes on this host" % len(gene_ids))
     if args.prefilter:
         from miso_tpu.io.sanity import get_ids_passing_filter
-        gene_ids = get_ids_passing_filter(
+        passing = get_ids_passing_filter(
             index_dir, reads, min_reads=settings.get_min_event_reads())
+        gene_ids = (passing if gene_ids is None
+                    else [g for g in gene_ids if g in set(passing)])
         print("Prefilter: %d genes pass the coverage filter"
               % len(gene_ids))
     compute_all_genes_psi(

@@ -43,14 +43,36 @@ class CompiledEvent:
         return len(self.counts)
 
     def counts_str(self) -> str:
-        """The ``counts=`` header field: class templates (as int tuples)
-        with read counts.  Ref: misopy/miso_sampler.py:404-422."""
+        """The ``counts=`` header field: READ-class templates (as int
+        tuples) with read counts -- always the match-matrix classes, even
+        when the sampler scores with position classes (ALGO_CLASSES), as
+        in the reference (miso.c:762-767 computes them from the match
+        matrix regardless of algorithm).
+        Ref: misopy/miso_sampler.py:404-422."""
         items = []
-        for c in range(self.num_classes):
+        for c in range(self.classes.num_classes):
             tmpl = tuple(int(v) for v in self.classes.templates[:, c])
             items.append("%s:%d" % (str(tmpl).replace(" ", ""),
-                                    int(self.counts[c])))
+                                    int(self.classes.counts[c])))
         return ",".join(items)
+
+    def final_assignment_counts(self, psi: np.ndarray,
+                                rng: Optional[np.random.Generator] = None
+                                ) -> np.ndarray:
+        """One reassignment pass from `psi` over the read classes -- the
+        reference's final-assignment computation for non-REASSIGN
+        algorithms (miso.c:935-947)."""
+        rng = rng or np.random.default_rng(0)
+        templates = self.classes.templates  # (I, C)
+        counts = self.classes.counts
+        n = np.zeros(self.num_iso)
+        for c in range(templates.shape[1]):
+            p = psi[:self.num_iso] * templates[:, c]
+            tot = p.sum()
+            if tot <= 0 or counts[c] <= 0:
+                continue
+            n += rng.multinomial(int(counts[c]), p / tot)
+        return n
 
 
 def effective_lengths(
@@ -94,19 +116,31 @@ def compile_single_end(
 
     templates = classes.templates  # (I, C)
     weights = templates.T.astype(np.float64).copy()  # (C, I)
+    counts = classes.counts.astype(np.float64)
     if algorithm == "marginal":
         # match probabilities divided by effective length (miso.c:807-815)
         div = np.where(efflen != 0, efflen, 1).astype(np.float64)
         weights = weights / div[None, :]
+    elif algorithm == "classes":
+        # position-class scoring (miso.c:790-803): row-normalized
+        # assignment matrix + per-class read counts via support matching
+        from miso_tpu.core.assignment import (assignment_matrix,
+                                              norm_assignment_matrix)
+        from miso_tpu.core.matching import match_vector
+        A = assignment_matrix(gene, read_len, overhang)
+        weights = norm_assignment_matrix(A).T        # (C_a, I)
+        counts = match_vector(match, A)
     log_read = np.where(templates.T > 0, isoscores[None, :], 0.0)
     log_read = np.where(np.isfinite(log_read), log_read, 0.0)
+    if algorithm == "classes" and log_read.shape[0] != weights.shape[0]:
+        log_read = np.zeros_like(weights)  # unused by the CLASSES scorer
 
     if hyper is None:
         hyper = np.ones(noiso)
     return CompiledEvent(
         name=name, gene=gene, num_iso=noiso, num_reads=len(positions),
         weights=weights, log_read=log_read,
-        counts=classes.counts.astype(np.float64),
+        counts=counts,
         log_iso_w=log_iso_w, hyper=np.asarray(hyper, dtype=np.float64),
         classes=classes, paired=False,
         any_compatible=bool((match > 0).any()),

@@ -157,14 +157,21 @@ def run_events(
             accepted = np.asarray(res.accepted)
             rejected = np.asarray(res.rejected)
             final_n = np.asarray(res.final_n)
+            final_psi = np.asarray(res.final_psi)
             for j, i in enumerate(chunk):
                 k = events[i].num_iso
+                fn = final_n[j, 0, :k]  # chain 0
+                if cfg.algorithm != "reassign":
+                    # final assignment pass for non-REASSIGN algorithms
+                    # (miso.c:935-947)
+                    fn = events[i].final_assignment_counts(
+                        final_psi[j, 0, :k])
                 out[i] = {
                     "samples": flat[j, :, :k],
                     "loglik": loglik[j],
                     "percent_accept": 100.0 * accepted[j]
                         / max(accepted[j] + rejected[j], 1),
-                    "final_n": final_n[j, 0, :k],  # chain 0
+                    "final_n": fn,
                 }
     return out
 

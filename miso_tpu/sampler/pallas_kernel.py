@@ -38,9 +38,16 @@ from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, SamplerResult
 NEG_BIG = -1e30
 TWO_PI = 2.0 * np.pi
 
+# ablation switches for performance debugging (static at trace time)
+import os as _os
+_DEBUG_NO_RECORD = _os.environ.get("MISO_PALLAS_NO_RECORD") == "1"
+_DEBUG_NO_PRNG = _os.environ.get("MISO_PALLAS_NO_PRNG") == "1"
+
 
 def _u01(shape):
     """Uniform [0,1): 23-bit mantissa via bitwise AND (sign-safe)."""
+    if _DEBUG_NO_PRNG:
+        return jnp.full(shape, 0.4999, jnp.float32)
     bits = pltpu.prng_random_bits(shape)
     return (bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23)
 
@@ -71,7 +78,7 @@ def _sampler_kernel(
     # outputs
     psi_out_ref,       # (1, K*BE, I, RREC)
     loglik_out_ref,    # (1, K*BE, RREC)
-    acc_out_ref,       # (1, K*BE)
+    acc_out_ref,       # (1, K*BE, 1)
     finaln_out_ref,    # (1, K*BE, I)
     finalpsi_out_ref,  # (1, K*BE, I)
     *,
@@ -194,11 +201,18 @@ def _sampler_kernel(
         cjs_after = accept * pjs + (1.0 - accept) * cjs
         acc_count = acc_count + accept
 
-        idx_eff = jnp.where(due, idx, -1)
-        mask = lane == idx_eff
-        rec_psis = [jnp.where(mask, psi[:, i:i + 1], rec_psis[i])
-                    for i in range(I)]
-        rec_ll = jnp.where(mask, cjs_after, rec_ll)
+        # lax.cond keeps the masked record update off the hot path
+        # (executes ~1/lag of iterations)
+        def _do_record(ops):
+            rec_psis, rec_ll = ops
+            mask = lane == idx
+            out_psis = [jnp.where(mask, psi[:, i:i + 1], rec_psis[i])
+                        for i in range(I)]
+            return out_psis, jnp.where(mask, cjs_after, rec_ll)
+
+        do_rec = jnp.logical_and(due, not _DEBUG_NO_RECORD)
+        rec_psis, rec_ll = jax.lax.cond(
+            do_rec, _do_record, lambda ops: ops, (rec_psis, rec_ll))
 
         n, rp = gibbs(psi)
         return alpha, psi, n, rp, acc_count, rec_psis, rec_ll
@@ -209,7 +223,7 @@ def _sampler_kernel(
     for i in range(I):
         psi_out_ref[0, :, i, :] = rec_psis[i]
     loglik_out_ref[0] = rec_ll
-    acc_out_ref[0] = acc_count[:, 0]
+    acc_out_ref[0] = acc_count
     finaln_out_ref[0] = n
     finalpsi_out_ref[0] = psi
 
@@ -288,7 +302,7 @@ def run_batch_pallas(key, events: EventBatch,
         ],
         out_specs=[
             out_bspec((KBE, I, RREC)), out_bspec((KBE, RREC)),
-            out_bspec((KBE,)), out_bspec((KBE, I)), out_bspec((KBE, I)),
+            out_bspec((KBE, 1)), out_bspec((KBE, I)), out_bspec((KBE, I)),
         ],
     )
     kernel = functools.partial(_sampler_kernel, cfg=cfg, BE=BE, K=K, I=I,
@@ -301,7 +315,7 @@ def run_batch_pallas(key, events: EventBatch,
         out_shape=[
             jax.ShapeDtypeStruct((NB, KBE, I, RREC), f32),
             jax.ShapeDtypeStruct((NB, KBE, RREC), f32),
-            jax.ShapeDtypeStruct((NB, KBE), f32),
+            jax.ShapeDtypeStruct((NB, KBE, 1), f32),
             jax.ShapeDtypeStruct((NB, KBE, I), f32),
             jax.ShapeDtypeStruct((NB, KBE, I), f32),
         ],
@@ -315,7 +329,8 @@ def run_batch_pallas(key, events: EventBatch,
         (0, 2, 4, 1, 3)).reshape(E, RREC, K, I)
     loglik_out = jnp.transpose(
         loglik.reshape(NB, K, BE, RREC), (0, 2, 3, 1)).reshape(E, RREC, K)
-    acc_ek = jnp.transpose(acc.reshape(NB, K, BE), (0, 2, 1)).reshape(E, K)
+    acc_ek = jnp.transpose(
+        acc[:, :, 0].reshape(NB, K, BE), (0, 2, 1)).reshape(E, K)
     accepted = jnp.sum(acc_ek, axis=1).astype(jnp.int32)
     final_n_out = jnp.transpose(
         final_n.reshape(NB, K, BE, I), (0, 2, 1, 3)).reshape(E, K, I)

@@ -119,3 +119,32 @@ def test_incompatible_reads_only():
     ev = compile_single_end(g, np.array([1]), ["1M100N24M"], read_len=25,
                             overhang=4)
     assert not ev.any_compatible
+
+
+def test_classes_algorithm_matches_its_exact_posterior():
+    """ALGO_CLASSES (miso.c:282-293): position-class scoring. A different
+    likelihood than REASSIGN (no per-read length re-weighting), so it is
+    checked against ITS OWN grid-exact posterior."""
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+    rng = np.random.default_rng(42)
+    _, pos, cig = simulate_reads(g, [0.7, 0.3], 2000, 25, rng)
+    ev = compile_single_end(g, pos, cig, read_len=25, algorithm="classes")
+    p = np.linspace(1e-6, 1 - 1e-6, 20001)
+    psi_grid = np.stack([p, 1 - p], axis=1)
+    s = psi_grid @ ev.weights.T
+    ll = (np.where(ev.counts[None, :] > 0,
+                   np.log(np.maximum(s, 1e-300)) * ev.counts[None, :],
+                   0)).sum(axis=1)
+    ll -= ll.max()
+    w = np.exp(ll)
+    exact = (w * p).sum() / w.sum()
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev]).items()})
+    cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=4,
+                        algorithm="marginal")
+    res = run_batch(jax.random.PRNGKey(0), batch, cfg)
+    mean = float(np.asarray(res.flat_samples())[0][:, 0].mean())
+    assert abs(mean - exact) < 0.02, (mean, exact)
+    # final assignment counts add up to the compatible reads
+    n = ev.final_assignment_counts(np.asarray(res.final_psi)[0, 0])
+    assert n.sum() == ev.classes.counts.sum()
