@@ -36,7 +36,9 @@ def match_iso(
     """{0,1} match matrix of shape (num_isoforms, num_reads).
 
     ``positions`` are 1-based genomic start coordinates.
-    Ref: pysplicing/src/solve.c:8-108.
+    Ref: pysplicing/src/solve.c:8-108.  Dispatches to the native C++
+    matcher (miso_tpu.native) when available; this numpy implementation
+    is the reference fallback.
     """
     if overhang == 0:
         overhang = 1
@@ -44,6 +46,12 @@ def match_iso(
         raise ValueError("Overhang length invalid. Must be positive")
     if read_len < 0:
         raise ValueError("Read length cannot be negative")
+    if len(positions) > 0:
+        from miso_tpu import native
+        out = native.match_iso_native(gene, positions, cigars, read_len,
+                                      overhang)
+        if out is not None:
+            return out
     positions = np.asarray(positions, dtype=np.int64)
     noiso = gene.num_isoforms
     noreads = len(positions)

@@ -103,3 +103,23 @@ def test_paired_fragment_lengths():
         assert fl[1, 0] == 90
     else:
         assert fl[1, 0] == -1 and match[1, 0] == 0.0
+
+
+def test_native_matcher_equals_python():
+    """The C++ matcher (miso_tpu/native/matchlib.cpp) must agree exactly
+    with the numpy reference implementation."""
+    from miso_tpu import native
+    g = make_gene([300, 150, 300, 100], [[1, 2, 3, 4], [1, 3, 4], [1, 4]])
+    rng = np.random.default_rng(9)
+    _, pos, cig = simulate_reads(g, [0.5, 0.3, 0.2], 5000, 30, rng)
+    m_native = native.match_iso_native(g, pos, cig, 30, 1)
+    if m_native is None:
+        import pytest
+        pytest.skip("native matcher unavailable (no C++ toolchain)")
+    real = native.match_iso_native
+    try:
+        native.match_iso_native = lambda *a, **k: None
+        m_py = match_iso(g, pos, cig, read_len=30)
+    finally:
+        native.match_iso_native = real
+    assert np.array_equal(m_native, m_py)
