@@ -95,15 +95,88 @@ def parse_gff_line(line: str) -> Optional[GFFRecord]:
         strand=strand, phase=phase, attributes=parse_attributes(fields[8]))
 
 
+_GTF_ATTR_RE = None
+
+
+def parse_gtf_attributes(field9: str) -> Dict[str, List[str]]:
+    """GTF `key "value"; key2 "v2";` attribute parsing
+    (gff_utils.py Reader GTF dialect)."""
+    global _GTF_ATTR_RE
+    if _GTF_ATTR_RE is None:
+        import re
+        _GTF_ATTR_RE = re.compile(r'(\w+)\s+"([^"]*)"')
+    attrs: Dict[str, List[str]] = {}
+    for k, v in _GTF_ATTR_RE.findall(field9):
+        attrs.setdefault(k, []).append(v)
+    return attrs
+
+
+def _looks_like_gtf(field9: str) -> bool:
+    return '"' in field9 and "=" not in field9.split('"')[0]
+
+
+def gtf_to_gff3_records(records: List[GFFRecord]) -> List[GFFRecord]:
+    """Synthesize the gene -> mRNA -> exon hierarchy GFF3 expects from
+    flat GTF exon/CDS lines keyed by gene_id/transcript_id."""
+    genes: Dict[str, GFFRecord] = {}
+    mrnas: Dict[str, GFFRecord] = {}
+    out: List[GFFRecord] = []
+    exons: List[GFFRecord] = []
+    for rec in records:
+        gid = (rec.attributes.get("gene_id") or [None])[0]
+        tid = (rec.attributes.get("transcript_id") or [None])[0]
+        if rec.type not in ("exon",) or gid is None or tid is None:
+            continue
+        if gid not in genes:
+            genes[gid] = GFFRecord(
+                rec.seqid, rec.source, "gene", rec.start, rec.end,
+                None, rec.strand, None, {"ID": [gid]})
+        g = genes[gid]
+        g.start = min(g.start, rec.start)
+        g.end = max(g.end, rec.end)
+        if tid not in mrnas:
+            mrnas[tid] = GFFRecord(
+                rec.seqid, rec.source, "mRNA", rec.start, rec.end,
+                None, rec.strand, None, {"ID": [tid], "Parent": [gid]})
+        m = mrnas[tid]
+        m.start = min(m.start, rec.start)
+        m.end = max(m.end, rec.end)
+        exons.append(GFFRecord(
+            rec.seqid, rec.source, "exon", rec.start, rec.end,
+            rec.score, rec.strand, rec.phase,
+            {"ID": ["%s:%d_%d" % (tid, rec.start, rec.end)],
+             "Parent": [tid]}))
+    out.extend(genes.values())
+    out.extend(mrnas.values())
+    out.extend(exons)
+    return out
+
+
 def read_gff(path: str) -> List[GFFRecord]:
+    """Read GFF3 (native) or GTF (auto-detected and converted to the
+    GFF3 hierarchy).  Ref: misopy/gff_utils.py:509-953 Reader supports
+    both dialects."""
     records = []
+    gtf_seen = False
     with open(path) as f:
         for line in f:
             if line.startswith("#") or not line.strip():
                 continue
-            rec = parse_gff_line(line)
-            if rec is not None:
-                records.append(rec)
+            fields = line.rstrip("\n").split("\t")
+            if len(fields) < 9:
+                continue
+            if _looks_like_gtf(fields[8]):
+                gtf_seen = True
+                rec = parse_gff_line(line)
+                if rec is not None:
+                    rec.attributes = parse_gtf_attributes(fields[8])
+                    records.append(rec)
+            else:
+                rec = parse_gff_line(line)
+                if rec is not None:
+                    records.append(rec)
+    if gtf_seen:
+        return gtf_to_gff3_records(records)
     return records
 
 

@@ -201,18 +201,15 @@ def _sampler_kernel(
         cjs_after = accept * pjs + (1.0 - accept) * cjs
         acc_count = acc_count + accept
 
-        # lax.cond keeps the masked record update off the hot path
-        # (executes ~1/lag of iterations)
-        def _do_record(ops):
-            rec_psis, rec_ll = ops
-            mask = lane == idx
-            out_psis = [jnp.where(mask, psi[:, i:i + 1], rec_psis[i])
-                        for i in range(I)]
-            return out_psis, jnp.where(mask, cjs_after, rec_ll)
-
-        do_rec = jnp.logical_and(due, not _DEBUG_NO_RECORD)
-        rec_psis, rec_ll = jax.lax.cond(
-            do_rec, _do_record, lambda ops: ops, (rec_psis, rec_ll))
+        # masked select every iteration: measured faster than lax.cond
+        # (Mosaic copies the carried record buffers on the untaken branch)
+        idx_eff = jnp.where(due, idx, -1)
+        mask = lane == idx_eff
+        if _DEBUG_NO_RECORD:
+            mask = lane < 0
+        rec_psis = [jnp.where(mask, psi[:, i:i + 1], rec_psis[i])
+                    for i in range(I)]
+        rec_ll = jnp.where(mask, cjs_after, rec_ll)
 
         n, rp = gibbs(psi)
         return alpha, psi, n, rp, acc_count, rec_psis, rec_ll
