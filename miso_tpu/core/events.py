@@ -212,6 +212,39 @@ def compile_paired_end(
     )
 
 
+def two_iso_event_from_counts(
+    gene: Gene,
+    ni: int, ne: int, nb: int,
+    read_len: int,
+    overhang: int = 1,
+    name: str = "event",
+) -> CompiledEvent:
+    """Build a two-isoform event directly from NI/NE/NB read-category
+    counts (inclusion-only, exclusion-only, both), the representation of
+    the reference's legacy two-isoform path
+    (misopy/read_simulator.py:390 read_counts_to_read_list +
+    miso_sampler.py:469 run_sampler_on_event)."""
+    assert gene.num_isoforms == 2
+    templates = np.array([[1.0, 0.0, 1.0],
+                          [0.0, 1.0, 1.0]])
+    counts = np.array([ni, ne, nb], dtype=np.float64)
+    classes = ReadClasses(templates=templates, counts=counts)
+    efflen, raw = effective_lengths(gene, read_len, overhang)
+    with np.errstate(divide="ignore"):
+        isoscores = np.where(raw > 0, -np.log(np.maximum(raw, 1e-300)),
+                             NEG_INF)
+        log_iso_w = np.where(efflen > 0, np.log(np.maximum(efflen, 1)),
+                             NEG_INF)
+    weights = templates.T.copy()
+    log_read = np.where(templates.T > 0, isoscores[None, :], 0.0)
+    log_read = np.where(np.isfinite(log_read), log_read, 0.0)
+    return CompiledEvent(
+        name=name, gene=gene, num_iso=2, num_reads=int(ni + ne + nb),
+        weights=weights, log_read=log_read, counts=counts,
+        log_iso_w=log_iso_w, hyper=np.ones(2), classes=classes,
+        paired=False, any_compatible=(ni + ne + nb) > 0)
+
+
 # --------------------------------------------------------------------------
 # Padding / batching
 # --------------------------------------------------------------------------
