@@ -162,12 +162,130 @@ def solve_gene(
     return expression, residuals
 
 
+def paired_assignment_matrix(
+    gene: Gene,
+    read_len: int,
+    frag_prob: np.ndarray,
+    frag_start: int,
+    overhang: int = 1,
+) -> np.ndarray:
+    """Paired-end assignment-class matrix.
+
+    Enumerates, per isoform, every (start, fragment length) generation
+    event; read pairs with identical genomic signatures
+    (pos1, cigar1, pos2, cigar2) form one class.  Column values are
+    per-isoform sums of fragment-length probabilities (each supporting
+    isoform implies its OWN fragment length for the signature, exactly as
+    splicing_matchIso_paired scores reads), collapsed by support pattern.
+
+    Ref: pysplicing/src/assignment.c:381-611
+    (splicing_paired_assignment_matrix).
+    """
+    if overhang > 1:
+        raise NotImplementedError(
+            "Overhang is not implemented in assignment matrix yet.")
+    noiso = gene.num_isoforms
+    frag_prob = np.asarray(frag_prob, dtype=np.float64)
+    frag_prob = frag_prob / frag_prob.sum()
+    il = len(frag_prob)
+    exons = [gene.iso_exons(i) for i in range(noiso)]
+    cigar_cache: Dict[Tuple[int, int], Optional[Tuple[int, ...]]] = {}
+
+    def cig(iso: int, gpos: int) -> Optional[Tuple[int, ...]]:
+        key = (iso, gpos)
+        hit = cigar_cache.get(key, "miss")
+        if hit != "miss":
+            return hit
+        starts, ends = exons[iso]
+        out = local_cigar(starts, ends, gpos, read_len)
+        cigar_cache[key] = out
+        return out
+
+    # signature -> per-isoform fragment-prob value
+    sig_values: Dict[Tuple, np.ndarray] = {}
+    for i in range(noiso):
+        L_i = gene.iso_length(i)
+        for frag_idx in range(il):
+            frag = frag_start + frag_idx
+            if frag > L_i or frag < read_len:
+                continue
+            p = frag_prob[frag_idx]
+            n_starts = L_i - frag + 1
+            s_arr = np.arange(1, n_starts + 1)
+            g1 = gene.iso_to_genomic(i, s_arr)
+            g2 = gene.iso_to_genomic(i, s_arr + frag - read_len)
+            for s in range(n_starts):
+                c1 = cig(i, int(g1[s]))
+                c2 = cig(i, int(g2[s]))
+                if c1 is None or c2 is None:
+                    continue
+                sig = (int(g1[s]), c1, int(g2[s]), c2)
+                vals = sig_values.get(sig)
+                if vals is None:
+                    vals = np.zeros(noiso)
+                    sig_values[sig] = vals
+                vals[i] += p
+    # collapse by support pattern (assignment.c simplify)
+    support: Dict[Tuple[int, ...], np.ndarray] = {}
+    for vals in sig_values.values():
+        key = tuple((vals > 0).astype(int))
+        acc = support.get(key)
+        if acc is None:
+            support[key] = vals.copy()
+        else:
+            acc += vals
+    keys = sorted(support)
+    mat = np.zeros((noiso, len(keys)))
+    for col, key in enumerate(keys):
+        mat[:, col] = support[key]
+    return mat
+
+
+def solve_gene_paired(
+    gene: Gene,
+    read_len: int,
+    overhang: int,
+    positions: np.ndarray,
+    cigars,
+    frag_prob: np.ndarray,
+    frag_start: int,
+    scale: bool = True,
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Paired-end linear deconvolution (NNLS).
+    Ref: pysplicing/src/solve.c:411-536 (splicing_solve_gene_paired)."""
+    from miso_tpu.core.matching import match_iso_paired, match_vector
+
+    A = paired_assignment_matrix(gene, read_len, frag_prob, frag_start,
+                                 overhang)
+    match, _ = match_iso_paired(gene, positions, cigars, read_len,
+                                overhang, frag_prob, frag_start)
+    mvec = match_vector(match, A)
+    expression = nnls(A.T, mvec)
+    residuals = mvec - A.T @ expression
+    if scale and expression.sum() > 0:
+        expression = expression / expression.sum()
+    return expression, residuals
+
+
 def gene_complexity(gene: Gene, read_len: int,
                     overhang: int = 1) -> float:
     """Condition number (sigma_max / sigma_min) of the assignment matrix.
     Ref: pysplicing/src/complexity.c:5-71 (splicing_gene_complexity with
     COMPLEXITY_RELATIVE / ABSOLUTE via SVD)."""
     A = assignment_matrix(gene, read_len, overhang)
+    return _condition_number(A)
+
+
+def gene_complexity_paired(gene: Gene, read_len: int,
+                           frag_prob: np.ndarray, frag_start: int,
+                           overhang: int = 1) -> float:
+    """Paired-end complexity (complexity.c:5-71 paired branch)."""
+    A = paired_assignment_matrix(gene, read_len, frag_prob, frag_start,
+                                 overhang)
+    return _condition_number(A)
+
+
+def _condition_number(A: np.ndarray) -> float:
     s = np.linalg.svd(A, compute_uv=False)
     smin = s[s > 0].min() if np.any(s > 0) else 0.0
     if smin == 0:

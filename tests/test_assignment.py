@@ -87,3 +87,32 @@ def test_complexity_finite():
     g = two_iso_gene()
     c = gene_complexity(g, 20)
     assert np.isfinite(c) and c >= 1.0
+
+
+def test_paired_assignment_and_solve():
+    from miso_tpu.core.assignment import (gene_complexity_paired,
+                                          paired_assignment_matrix,
+                                          solve_gene_paired)
+    from miso_tpu.core.fragments import normal_fragment
+    from miso_tpu.core.simulate import simulate_paired_reads
+
+    g = make_gene([300, 100, 300], [[1, 2, 3], [1, 3]])
+    frag_prob, frag_start = normal_fragment(150.0, 64.0, 3.0, 30)
+    A = paired_assignment_matrix(g, 30, frag_prob, frag_start)
+    assert A.shape[0] == 2 and A.shape[1] >= 2
+    # per-isoform total weight ~ sum over valid (s, L) of p(L)
+    # = sum_L p(L) * (isolen - L + 1)
+    fp = frag_prob / frag_prob.sum()
+    lens = np.arange(frag_start, frag_start + len(fp))
+    for i in range(2):
+        expected = (fp * np.maximum(g.iso_length(i) - lens + 1, 0)).sum()
+        assert abs(A[i].sum() - expected) < 1e-6, (i, A[i].sum(), expected)
+
+    rng = np.random.default_rng(0)
+    _, pos, cig = simulate_paired_reads(g, [0.7, 0.3], 4000, 30,
+                                        150.0, 64.0, num_sds=3.0, rng=rng)
+    expr, _ = solve_gene_paired(g, 30, 1, pos, cig, frag_prob, frag_start)
+    assert abs(expr[0] - 0.7) < 0.08, expr
+
+    c = gene_complexity_paired(g, 30, frag_prob, frag_start)
+    assert np.isfinite(c) and c >= 1.0
