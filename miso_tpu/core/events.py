@@ -262,14 +262,26 @@ def pad_events(
     pad_classes: Optional[int] = None,
     pad_reads: Optional[int] = None,
     dtype=np.float32,
+    read_dtype=None,
 ):
     """Pad a list of compiled events to common (C, I, R) and stack.
 
     Returns dict of numpy arrays matching sampler.mcmc.EventBatch fields.
     Padded classes have counts 0; padded isoforms have log_iso_w = -inf and
     are excluded by the sampler's masks; padded read slots carry class -1.
+
+    The large per-read tensors (read_w / read_logscore) are stored in
+    ``read_dtype`` (default bfloat16): they are loop-invariant and re-read
+    from HBM every MCMC iteration, so their width bounds sampler
+    throughput.  bfloat16 weights shift per-read sampling probabilities
+    by <0.5% relative (0/1 compatibility weights are exact), well inside
+    Monte-Carlo equivalence; the per-read log-score term cancels in the
+    MH ratio and only shifts recorded log-likelihoods.
     """
     E = len(events)
+    if read_dtype is None:
+        import jax.numpy as jnp
+        read_dtype = jnp.bfloat16
     I = pad_iso or _round_up(max(ev.num_iso for ev in events))
     C = pad_classes or _round_up(max(max(ev.num_classes, 1) for ev in events))
     R = pad_reads or _round_up(
@@ -280,8 +292,8 @@ def pad_events(
     log_iso_w = np.full((E, I), NEG_INF, dtype)
     hyper = np.ones((E, I), dtype)
     num_iso = np.zeros((E,), np.int32)
-    read_w = np.zeros((E, R, I), dtype)
-    read_logscore = np.zeros((E, R, I), dtype)
+    read_w = np.zeros((E, R, I), read_dtype)
+    read_logscore = np.zeros((E, R, I), read_dtype)
     for e, ev in enumerate(events):
         k, c = ev.num_iso, ev.num_classes
         weights[e, :c, :k] = ev.weights

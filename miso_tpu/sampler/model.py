@@ -165,7 +165,7 @@ def gibbs_reassign_perread(key, psi, read_w, read_logscore,
     read_logscore: (R, I) per-read log score by assigned isoform.
     Returns (n_per_iso (I,), read_prob ()).
     """
-    rw = psi[None, :] * read_w                          # (R, I)
+    rw = psi[None, :] * read_w.astype(psi.dtype)        # (R, I)
     cum = jnp.cumsum(rw, axis=1)
     total = cum[:, -1:]
     valid = total[:, 0] > 0
@@ -180,7 +180,7 @@ def gibbs_reassign_perread(key, psi, read_w, read_logscore,
     onehot = jnp.logical_and(onehot, rw > 0)
     onehot = jnp.where(valid[:, None], onehot, False).astype(psi.dtype)
     n = jnp.sum(onehot, axis=0)
-    read_prob = jnp.sum(onehot * read_logscore)
+    read_prob = jnp.sum(onehot * read_logscore.astype(psi.dtype))
     return n, read_prob
 
 
