@@ -195,8 +195,51 @@ def bgzf_compress(data: bytes, level: int = 6) -> bytes:
 
 # ---------------------------------------------------------------------- BAM
 
+class _RegionIndex:
+    """In-memory positional index: per-chromosome read lists sorted by
+    start, with a running max of reference end positions so region
+    fetches are O(log n + hits) -- the role pysam's .bai index plays in
+    the reference (sam_utils.py:154-181), without needing the file."""
+
+    def __init__(self, reads: List[AlignedRead]):
+        import bisect
+        self._bisect = bisect
+        self.by_chrom: dict = {}
+        for r in reads:
+            if r.rname == "*" or r.is_unmapped:
+                continue
+            self.by_chrom.setdefault(r.rname, []).append(r)
+        self._starts: dict = {}
+        self._maxend: dict = {}
+        for chrom, rs in self.by_chrom.items():
+            rs.sort(key=lambda r: r.pos)
+            starts = [r.pos for r in rs]
+            maxend = []
+            cur = -1
+            for r in rs:
+                cur = max(cur, r.pos + _cigar_ref_len(r.cigar_str))
+                maxend.append(cur)
+            self._starts[chrom] = starts
+            self._maxend[chrom] = maxend
+
+    def fetch(self, chrom: str, start: int, end: int):
+        rs = self.by_chrom.get(chrom)
+        if not rs:
+            return
+        starts = self._starts[chrom]
+        maxend = self._maxend[chrom]
+        # first read whose running max end exceeds `start`
+        lo = self._bisect.bisect_right(maxend, start)
+        hi = self._bisect.bisect_left(starts, end)
+        for i in range(lo, hi):
+            r = rs[i]
+            if r.pos + _cigar_ref_len(r.cigar_str) > start:
+                yield r
+
+
 class BamReader:
-    """Whole-file BAM reader (BGZF + BAM binary records)."""
+    """Whole-file BAM reader (BGZF + BAM binary records) with an
+    in-memory region index built on first fetch."""
 
     def __init__(self, path: str):
         self.path = path
@@ -219,6 +262,7 @@ class BamReader:
         self.header_text = data[8:8 + l_text].decode(errors="replace")
         self._data = data
         self._aln_start = off
+        self._index: Optional[_RegionIndex] = None
 
     def __iter__(self) -> Iterator[AlignedRead]:
         data = self._data
@@ -246,16 +290,10 @@ class BamReader:
 
     def fetch(self, chrom: str, start: int, end: int
               ) -> Iterator[AlignedRead]:
-        """Region fetch (0-based half-open), filtered scan."""
-        for read in self:
-            if read.rname != chrom or read.is_unmapped:
-                continue
-            if read.pos >= end:
-                continue
-            ref_span = _cigar_ref_len(read.cigar_str)
-            if read.pos + ref_span <= start:
-                continue
-            yield read
+        """Region fetch (0-based half-open) via the in-memory index."""
+        if self._index is None:
+            self._index = _RegionIndex(list(self))
+        return self._index.fetch(chrom, start, end)
 
 
 def _cigar_ref_len(cigar: str) -> int:
@@ -282,26 +320,22 @@ def open_alignments(path: str):
 
 
 class SamFile:
-    """SAM text file with the BamReader fetch surface."""
+    """SAM text file with the BamReader fetch surface (indexed)."""
 
     def __init__(self, path: str):
         self.path = path
         self._reads = list(read_sam_text(path))
         self.references = sorted({r.rname for r in self._reads
                                   if r.rname != "*"})
+        self._index: Optional[_RegionIndex] = None
 
     def __iter__(self):
         return iter(self._reads)
 
     def fetch(self, chrom: str, start: int, end: int):
-        for read in self._reads:
-            if read.rname != chrom or read.is_unmapped:
-                continue
-            if read.pos >= end:
-                continue
-            if read.pos + _cigar_ref_len(read.cigar_str) <= start:
-                continue
-            yield read
+        if self._index is None:
+            self._index = _RegionIndex(self._reads)
+        return self._index.fetch(chrom, start, end)
 
 
 def fetch_bam_reads_in_gene(alignments, chrom: str, start: int, end: int
