@@ -182,3 +182,37 @@ def test_pack_and_db_read(workdir, run_output):
     assert sorted(obj.all_event_names) == sorted(names_before)
     data = obj.get_event_samples(names_before[0])
     assert data is not None and data.samples.shape[1] == 2
+
+
+def test_catalog_end_to_end(tmp_path):
+    """Many-event catalog: simulate -> index -> run -> summarize; posterior
+    means must track the simulation truth (correlation check, the
+    reference's own oracle in tools/extra-tests/miso-multiple.R)."""
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "fix"), num_events=25,
+                                reads_per_event=400, seed=7)
+    settings = tmp_path / "settings.txt"
+    settings.write_text(FAST_SETTINGS)
+    index_dir = str(tmp_path / "index")
+    assert index_main(["--index", fix["gff"], index_dir]) == 0
+    out_dir = str(tmp_path / "out")
+    rc = miso_main(["--run", index_dir, fix["bam"], "--output-dir", out_dir,
+                    "--read-len", str(fix["read_len"]),
+                    "--settings-filename", str(settings)])
+    assert rc == 0
+    from miso_tpu.io.miso_file import MISOSamples
+    obj = MISOSamples(out_dir)
+    assert obj.num_events == 25
+    means = np.zeros(25)
+    for e in range(25):
+        data = obj.get_event_samples("ev%d" % e)
+        assert data is not None
+        means[e] = data.samples[:, 0].mean()
+    truth = fix["true_psi"]
+    corr = np.corrcoef(means, truth)[0, 1]
+    assert corr > 0.9, (corr, list(zip(means, truth))[:5])
+    # length-corrected estimates shouldn't be systematically biased
+    assert abs(np.mean(means - truth)) < 0.06
