@@ -109,6 +109,23 @@ def compile_gene_event(
     return ev
 
 
+def enable_compilation_cache() -> None:
+    """Persistent XLA compile cache (first compiles of a batch shape can
+    take minutes on remote TPU runtimes; subsequent runs are instant)."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "MISO_JAX_CACHE_DIR",
+        os.path.join(os.path.expanduser("~"), ".cache", "miso_tpu",
+                     "jax_cache"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def run_events(
     events: List[CompiledEvent],
     cfg: RunConfig,
@@ -120,6 +137,8 @@ def run_events(
     Returns a list parallel to `events` of per-event result dicts.
     """
     import jax
+
+    enable_compilation_cache()
 
     sampler_cfg_base = SamplerConfig(
         iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
