@@ -75,11 +75,19 @@ def write_miso_file(
            assigned_counts_str(final_n, event.num_iso), chrom, strand,
            mrna_starts, mrna_ends))
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
+    # vectorized row formatting (hot path: thousands of events x
+    # thousands of samples)
+    psi_cols = np.char.mod("%.4f", np.asarray(psi_samples, np.float64))
+    rows = psi_cols[:, 0]
+    for c in range(1, psi_cols.shape[1]):
+        rows = np.char.add(np.char.add(rows, ","), psi_cols[:, c])
+    score_col = np.char.mod("%.2f", np.asarray(log_scores, np.float64))
+    lines = np.char.add(np.char.add(rows, "\t"), score_col)
     with open(output_file, "w") as f:
         f.write(header)
         f.write("sampled_psi\tlog_score\n")
-        for psi, score in zip(psi_samples, log_scores):
-            f.write("%s\t%.2f\n" % (",".join("%.4f" % v for v in psi), score))
+        f.write("\n".join(lines.tolist()))
+        f.write("\n")
 
 
 # ------------------------------------------------------------------ reading

@@ -173,7 +173,12 @@ def run_events(
                 res = run_batch_pallas(key, batch, sampler_cfg)
             else:
                 res = run_batch(key, batch, sampler_cfg)
-            flat = np.asarray(res.flat_samples())
+            # fetch psi quantized to 1e-4 on device: exactly the .miso
+            # output precision ("%.4f"), at a quarter of the bytes --
+            # device->host transfer dominates on remote runtimes
+            import jax.numpy as jnp
+            quant = jnp.round(res.flat_samples() * 1e4).astype(jnp.uint16)
+            flat = np.asarray(quant).astype(np.float32) / 1e4
             loglik = np.asarray(res.flat_loglik())
             accepted = np.asarray(res.accepted)
             rejected = np.asarray(res.rejected)
