@@ -136,6 +136,32 @@ def nnls(A: np.ndarray, b: np.ndarray) -> np.ndarray:
     return x
 
 
+def linear_start_psi(event, read_len: int, overhang: int = 1) -> np.ndarray:
+    """MISO_START_LINEAR (miso.c:410-443): NNLS deconvolution of the
+    read-class counts against the assignment matrix, from a compiled
+    event's stored classes (support patterns + counts are all the match
+    vector needs, solve.c:110-137)."""
+    from scipy.optimize import nnls as scipy_nnls
+
+    gene = event.gene
+    A = assignment_matrix(gene, read_len, overhang)
+    class_support = (A > 0)
+    mvec = np.zeros(A.shape[1])
+    templates = event.classes.templates  # (I, C_read)
+    counts = event.classes.counts
+    for c in range(templates.shape[1]):
+        sup = templates[:, c] > 0
+        for cl in range(A.shape[1]):
+            if np.array_equal(sup, class_support[:, cl]):
+                mvec[cl] += counts[c]
+                break
+    expr, _ = scipy_nnls(A.T, mvec)
+    if expr.sum() <= 0:
+        expr = np.full(gene.num_isoforms, 1.0 / gene.num_isoforms)
+    expr = np.clip(expr / expr.sum(), 1e-4, None)
+    return expr / expr.sum()
+
+
 def solve_gene(
     gene: Gene,
     read_len: int,

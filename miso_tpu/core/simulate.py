@@ -74,6 +74,41 @@ def simulate_reads(
     return isoform, positions, cigars
 
 
+def simulate_two_iso_reads_with_noise(
+    gene: Gene,
+    psi: float,
+    num_reads: int,
+    read_len: int,
+    p_ne_loss: float = 0.0,
+    p_ne_gain: float = 0.0,
+    rng: Optional[np.random.Generator] = None,
+) -> Tuple[np.ndarray, np.ndarray, List[str]]:
+    """Two-isoform simulation with data-level noise injection: drop
+    exclusion-body reads with probability p_ne_loss, or duplicate them
+    with probability p_ne_gain -- the reference's closest analogue of
+    fault injection (misopy/read_simulator.py:89-148 p_ne_loss/p_ne_gain
+    knobs)."""
+    rng = rng or np.random.default_rng()
+    iso, pos, cig = simulate_reads(gene, [psi, 1 - psi], num_reads,
+                                   read_len, rng)
+    keep = np.ones(len(pos), dtype=bool)
+    extra_pos: List[int] = []
+    extra_cig: List[str] = []
+    extra_iso: List[int] = []
+    for r in range(len(pos)):
+        if iso[r] == 1:  # exclusion-isoform read
+            if p_ne_loss > 0 and rng.random() < p_ne_loss:
+                keep[r] = False
+            elif p_ne_gain > 0 and rng.random() < p_ne_gain:
+                extra_pos.append(int(pos[r]))
+                extra_cig.append(cig[r])
+                extra_iso.append(1)
+    iso = np.concatenate([iso[keep], np.array(extra_iso, dtype=iso.dtype)])
+    pos = np.concatenate([pos[keep], np.array(extra_pos, dtype=pos.dtype)])
+    cig = [c for c, k in zip(cig, keep) if k] + extra_cig
+    return iso, pos, cig
+
+
 def simulate_paired_reads(
     gene: Gene,
     psi: np.ndarray,

@@ -54,6 +54,9 @@ class RunConfig:
     # 'auto' -> fused XLA scan (fastest measured); 'pallas' selects the
     # fused Pallas kernel; 'xla' forces the scan
     backend: str = "auto"
+    # chain start: 'auto' (miso.c:348 AUTO) or 'linear' (MISO_START_LINEAR,
+    # miso.c:410-443: NNLS deconvolution seeds every chain)
+    start: str = "auto"
 
     @classmethod
     def from_settings(cls, settings: Settings, read_len: int, **kw):
@@ -159,6 +162,19 @@ def run_events(
                                                   gibbs="multinomial")
             key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
                                      * 131071 + pad_classes * 8191)
+            start_psi = None
+            if cfg.start == "linear":
+                from miso_tpu.core.assignment import linear_start_psi
+                I_pad = batch.weights.shape[2]
+                sp = np.zeros((len(evs), cfg.chains, I_pad), np.float32)
+                for j, ev in enumerate(evs):
+                    try:
+                        expr = linear_start_psi(ev, cfg.read_len,
+                                                cfg.overhang_len)
+                    except Exception:
+                        expr = np.full(ev.num_iso, 1.0 / ev.num_iso)
+                    sp[j, :, :ev.num_iso] = expr[None, :]
+                start_psi = sp
             backend = cfg.backend
             if backend == "auto":
                 # measured on v5e: the fused XLA scan outperforms the
@@ -168,11 +184,12 @@ def run_events(
             if mesh is not None:
                 from miso_tpu.parallel.mesh import run_batch_sharded
                 res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh)
-            elif backend == "pallas":
+            elif backend == "pallas" and start_psi is None:
                 from miso_tpu.sampler.pallas_kernel import run_batch_pallas
                 res = run_batch_pallas(key, batch, sampler_cfg)
             else:
-                res = run_batch(key, batch, sampler_cfg)
+                res = run_batch(key, batch, sampler_cfg,
+                                start_psi=start_psi)
             # fetch psi quantized to 1e-4 on device: exactly the .miso
             # output precision ("%.4f"), at a quarter of the bytes --
             # device->host transfer dominates on remote runtimes

@@ -70,3 +70,20 @@ def test_given_start():
     s = np.asarray(res.flat_samples())[0]
     assert not np.isnan(s).any()
     assert np.allclose(s.sum(axis=1), 1.0, atol=1e-5)
+
+
+def test_linear_start_pipeline():
+    """MISO_START_LINEAR: NNLS-seeded chains through the pipeline."""
+    import dataclasses
+    from miso_tpu.core.assignment import linear_start_psi
+    from miso_tpu.pipeline import RunConfig, run_events
+
+    evs = _events(2, seed=11)
+    expr = linear_start_psi(evs[0], 25)
+    assert expr.shape == (2,) and abs(expr.sum() - 1.0) < 1e-6
+    cfg = RunConfig(read_len=25, iters=400, burn_in=100, lag=5, chains=2,
+                    start="linear")
+    results = run_events(evs, cfg)
+    for r in results:
+        assert r is not None
+        assert np.all(np.isfinite(r["samples"]))

@@ -137,3 +137,45 @@ def test_pe_utils_runs(tmp_path):
     assert os.path.isfile(out)
     header = open(out).readline()
     assert header.startswith("#mean=")
+
+
+def test_insert_len_plot(tmp_path):
+    from miso_tpu.plot.sashimi import plot_insert_len
+    il = tmp_path / "test.insert_len"
+    il.write_text("#mean=200.0,sdev=10.0,dispersion=0.7,num_pairs=4\n"
+                  "chr1:1-500:+\t190,200,205,210\n")
+    settings = tmp_path / "s.txt"
+    settings.write_text("[data]\n[plotting]\nfig_width = 5\nfig_height = 4\n")
+    out = plot_insert_len(str(il), str(settings), str(tmp_path))
+    assert os.path.isfile(out)
+
+
+def test_miso_zip_roundtrip(tmp_path):
+    import shutil
+    from miso_tpu.cli.zip import unzip_file, zip_dir
+    from miso_tpu.io.miso_file import MISOSamples
+    src = os.path.join(MISO_DATA, "heartWT1")
+    work = tmp_path / "wt1"
+    shutil.copytree(src, work)
+    zp = str(tmp_path / "wt1.misozip")
+    zip_dir(str(work), zp)
+    assert os.path.isfile(zp)
+    out = str(tmp_path / "restored")
+    unzip_file(zp, out)
+    obj = MISOSamples(os.path.join(out, "wt1"))
+    assert obj.num_events == 1
+    assert obj.get_event_samples(obj.all_event_names[0]) is not None
+
+
+def test_noise_simulator():
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_two_iso_reads_with_noise
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+    rng = np.random.default_rng(0)
+    iso, pos, cig = simulate_two_iso_reads_with_noise(
+        g, 0.5, 2000, 25, p_ne_loss=0.5, rng=rng)
+    iso2, pos2, cig2 = simulate_two_iso_reads_with_noise(
+        g, 0.5, 2000, 25, p_ne_loss=0.0, rng=np.random.default_rng(0))
+    # losing exclusion reads shrinks the read set
+    assert len(pos) < len(pos2)
+    assert len(pos) == len(cig)
