@@ -97,6 +97,19 @@ def main(argv=None) -> int:
         print("Error: need --read-len.", file=sys.stderr)
         return 1
 
+    index_dir_chk, reads_chk = args.compute_genes_psi
+    for path, what in [(index_dir_chk, "index directory"),
+                       (reads_chk, "reads file")]:
+        p2 = os.path.abspath(os.path.expanduser(path))
+        if not os.path.exists(p2):
+            print("Error: %s %s does not exist." % (what, p2),
+                  file=sys.stderr)
+            return 1
+    if args.settings_filename is not None and \
+            not os.path.isfile(os.path.expanduser(args.settings_filename)):
+        print("Error: settings file %s does not exist."
+              % args.settings_filename, file=sys.stderr)
+        return 1
     settings = Settings.load(args.settings_filename)
     multihost = False
     if args.coordinator or args.num_hosts:

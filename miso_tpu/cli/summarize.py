@@ -20,6 +20,10 @@ def main(argv=None) -> int:
     from miso_tpu.io.miso_file import summarize_sampler_results
     samples_dir = os.path.abspath(os.path.expanduser(
         args.summarize_samples[0]))
+    if not os.path.isdir(samples_dir):
+        print("Error: samples directory %s does not exist." % samples_dir,
+              file=sys.stderr)
+        return 1
     output_dir = os.path.abspath(os.path.expanduser(
         args.summarize_samples[1]))
     label = args.summary_label or os.path.basename(

@@ -216,3 +216,55 @@ def test_catalog_end_to_end(tmp_path):
     assert corr > 0.9, (corr, list(zip(means, truth))[:5])
     # length-corrected estimates shouldn't be systematically biased
     assert abs(np.mean(means - truth)) < 0.06
+
+
+def test_paired_end_cli(tmp_path):
+    """Paired-end through the CLI surface: simulate mates -> SAM -> BAM ->
+    miso --run --paired-end MEAN SD."""
+    import numpy as np
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.cli.simulate import main as sim_main
+    from miso_tpu.io.gff import GFFRecord, write_gff
+    from miso_tpu.io.miso_file import MISOSamples
+    from miso_tpu.io.sam import sam_to_bam
+
+    # one paired-end event gene
+    recs = []
+    gid = "pe_ev"
+    exons = [(1, 600), (701, 800), (901, 1500)]
+    recs.append(GFFRecord("chrP", "sim", "gene", 1, 1500, None, "+", None,
+                          {"ID": [gid]}))
+    for iso, keep in (("A", (0, 1, 2)), ("B", (0, 2))):
+        iid = "%s.%s" % (gid, iso)
+        recs.append(GFFRecord("chrP", "sim", "mRNA", 1, 1500, None, "+",
+                              None, {"ID": [iid], "Parent": [gid]}))
+        for k in keep:
+            s, e = exons[k]
+            recs.append(GFFRecord("chrP", "sim", "exon", s, e, None, "+",
+                                  None, {"ID": ["%s.e%d" % (iid, k)],
+                                         "Parent": [iid]}))
+    gff = str(tmp_path / "pe.gff")
+    write_gff(recs, gff)
+    sam = str(tmp_path / "pe.sam")
+    rc = sim_main(["--gff", gff, "--psi", "0.65,0.35", "--num-reads",
+                   "800", "--read-len", "30", "--paired-end", "250", "15",
+                   "--output", sam, "--seed", "5"])
+    assert rc == 0
+    bam = str(tmp_path / "pe.bam")
+    sam_to_bam(sam, bam)
+    index_dir = str(tmp_path / "idx")
+    assert index_main(["--index", gff, index_dir]) == 0
+    settings = tmp_path / "s.txt"
+    settings.write_text(FAST_SETTINGS)
+    out = str(tmp_path / "out")
+    rc = miso_main(["--run", index_dir, bam, "--output-dir", out,
+                    "--read-len", "30", "--paired-end", "250", "15",
+                    "--settings-filename", str(settings)])
+    assert rc == 0
+    obj = MISOSamples(out)
+    data = obj.get_event_samples(gid)
+    assert data is not None
+    mean = float(data.samples[:, 0].mean())
+    # paired-end events are strongly identified
+    assert abs(mean - 0.65) < 0.12, mean
