@@ -61,7 +61,11 @@ def main():
     batch = build_catalog(num_events)
     key = jax.random.PRNGKey(0)
 
-    runner = run_batch  # fused XLA scan: fastest measured reassign path
+    if jax.default_backend() == "tpu":
+        # fused Pallas kernel: fastest measured reassign path on TPU
+        from miso_tpu.sampler.pallas_kernel import run_batch_pallas as runner
+    else:
+        runner = run_batch
 
     # compile + warmup (force a full device->host fetch; on the tunneled
     # remote backend block_until_ready alone may not round-trip)

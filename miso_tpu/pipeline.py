@@ -177,10 +177,11 @@ def run_events(
                 start_psi = sp
             backend = cfg.backend
             if backend == "auto":
-                # measured on v5e: the fused XLA scan outperforms the
-                # Pallas kernel at production batch sizes (1836 vs 1509
-                # events/s at E=2048); Pallas stays selectable
-                backend = "xla"
+                # measured on v5e at E=2048: fused Pallas kernel 2085
+                # events/s vs XLA scan 1998 (docs/VALIDATION.md)
+                backend = ("pallas" if jax.default_backend() == "tpu"
+                           and cfg.algorithm == "reassign"
+                           and sampler_cfg.gibbs == "perread" else "xla")
             if mesh is not None:
                 from miso_tpu.parallel.mesh import run_batch_sharded
                 res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh)

@@ -137,8 +137,13 @@ def _sampler_kernel(
                 - jnp.sum(logpsi, axis=1, keepdims=True)
                 - _safe_log(ltheta) + exp_part)
 
-    def gibbs(psi):
-        """(B, I) psi -> (n (B, I), read_prob (B, 1))."""
+    def gibbs(psi, compute_rp=True):
+        """(B, I) psi -> (n (B, I), read_prob (B, 1)).
+
+        read_prob cancels in the MH ratio (it depends only on the
+        assignment, not psi) and is consumed only by the RECORDED
+        log-likelihood -- compute_rp=False skips its reduction on the
+        ~(lag-1)/lag of iterations whose score is never recorded."""
         rws: List = []
         cums: List = []
         acc = None
@@ -149,7 +154,7 @@ def _sampler_kernel(
             cums.append(acc)
         u = _u01((B, R)) * acc
         n_cols = []
-        read_prob = None
+        read_prob = jnp.zeros((B, 1), jnp.float32)
         for i in range(I):
             oh = jnp.where(
                 jnp.logical_and(
@@ -157,9 +162,10 @@ def _sampler_kernel(
                     rws[i] > 0),
                 1.0, 0.0)
             n_cols.append(jnp.sum(oh, axis=1, keepdims=True))
-            contrib = jnp.sum(oh * read_logscore[:, i * R:(i + 1) * R],
-                              axis=1, keepdims=True)
-            read_prob = contrib if read_prob is None else read_prob + contrib
+            if compute_rp:
+                read_prob = read_prob + jnp.sum(
+                    oh * read_logscore[:, i * R:(i + 1) * R],
+                    axis=1, keepdims=True)
         return jnp.concatenate(n_cols, axis=1), read_prob
 
     # ---- init (miso.c:348-371 AUTO start + :834 propose + :840 gibbs)
@@ -177,13 +183,9 @@ def _sampler_kernel(
     lane = jax.lax.broadcasted_iota(jnp.int32, (B, RREC), 1)
     acc_count = jnp.zeros((B, 1), jnp.float32)
 
-    def body(m, carry):
-        alpha, psi, n, rp, acc_count, rec_psis, rec_ll = carry
+    def step(m, alpha, psi, n, rp, acc_count, compute_rp=True):
+        """One MH+Gibbs iteration; returns new state + post-accept score."""
         full = (m > 0).astype(jnp.float32)
-        rel = m - cfg.burn_in
-        due = jnp.logical_and(rel >= 0, rel % cfg.lag == cfg.lag - 1)
-        idx = jnp.clip(rel // cfg.lag, 0, RREC - 1)
-
         alpha_new = alpha + noise_scale * _normal((B, I)) * amask
         psi_new = logistic_inv(alpha_new)
 
@@ -200,22 +202,67 @@ def _sampler_kernel(
         alpha = accept * alpha_new + (1.0 - accept) * alpha
         cjs_after = accept * pjs + (1.0 - accept) * cjs
         acc_count = acc_count + accept
+        n, rp = gibbs(psi, compute_rp=compute_rp)
+        return alpha, psi, n, rp, acc_count, cjs_after
 
-        # masked select every iteration: measured faster than lax.cond
-        # (Mosaic copies the carried record buffers on the untaken branch)
-        idx_eff = jnp.where(due, idx, -1)
+    # Static record schedule: the record-buffer select only runs once per
+    # lag block instead of every iteration (it is full-buffer traffic).
+    # Records happen at m = phase-1 + lag*k for m >= burn_in where
+    # phase = burn_in % lag; prologue of `phase` steps aligns blocks.
+    phase = cfg.burn_in % cfg.lag
+    nblocks = (cfg.iters - phase) // cfg.lag
+    rec_offset = (cfg.burn_in - phase) // cfg.lag
+    tail = cfg.iters - phase - nblocks * cfg.lag
+
+    def plain_body(m, carry):
+        alpha, psi, n, rp, acc_count = carry
+        alpha, psi, n, rp, acc_count, _ = step(m, alpha, psi, n, rp,
+                                               acc_count)
+        return alpha, psi, n, rp, acc_count
+
+    state = (alpha, psi, n, rp, acc_count)
+    if phase > 0:
+        state = jax.lax.fori_loop(0, phase, plain_body, state)
+
+    def block_body(blk, carry):
+        alpha, psi, n, rp, acc_count, rec_psis, rec_ll = carry
+        m0 = phase + blk * cfg.lag
+
+        def inner(j, st):
+            a, p, nn, r, ac = st
+            a, p, nn, r, ac, _ = step(m0 + j, a, p, nn, r, ac,
+                                      compute_rp=False)
+            return a, p, nn, r, ac
+
+        # lag-2 cheap steps, then one step whose Gibbs feeds the recorded
+        # score, then the record step itself
+        if cfg.lag >= 2:
+            alpha, psi, n, rp, acc_count = jax.lax.fori_loop(
+                0, cfg.lag - 2, inner, (alpha, psi, n, rp, acc_count))
+            alpha, psi, n, rp, acc_count, _ = step(
+                m0 + cfg.lag - 2, alpha, psi, n, rp, acc_count,
+                compute_rp=True)
+        alpha, psi, n, rp, acc_count, cjs_after = step(
+            m0 + cfg.lag - 1, alpha, psi, n, rp, acc_count,
+            compute_rp=True)
+
+        idx = blk - rec_offset
+        idx_eff = jnp.where(idx >= 0, jnp.minimum(idx, RREC - 1), -1)
         mask = lane == idx_eff
         if _DEBUG_NO_RECORD:
             mask = lane < 0
         rec_psis = [jnp.where(mask, psi[:, i:i + 1], rec_psis[i])
                     for i in range(I)]
         rec_ll = jnp.where(mask, cjs_after, rec_ll)
-
-        n, rp = gibbs(psi)
         return alpha, psi, n, rp, acc_count, rec_psis, rec_ll
 
     alpha, psi, n, rp, acc_count, rec_psis, rec_ll = jax.lax.fori_loop(
-        0, cfg.iters, body, (alpha, psi, n, rp, acc_count, rec_psis, rec_ll))
+        0, nblocks, block_body,
+        state + (rec_psis, rec_ll))
+    if tail > 0:
+        alpha, psi, n, rp, acc_count = jax.lax.fori_loop(
+            phase + nblocks * cfg.lag, cfg.iters, plain_body,
+            (alpha, psi, n, rp, acc_count))
 
     for i in range(I):
         psi_out_ref[0, :, i, :] = rec_psis[i]
