@@ -269,17 +269,16 @@ def compute_all_genes_psi(
         id_to_fname = {g: id_to_fname[g] for g in gene_ids if g in id_to_fname}
     alignments = sam_io.open_alignments(alignments_path)
 
-    events: List[CompiledEvent] = []
-    skipped = 0
-    for gene_id, pickle_fname in sorted(id_to_fname.items()):
+    def compile_one(item):
+        gene_id, pickle_fname = item
         entry = load_indexed_gene(pickle_fname)[gene_id]
         gene: Gene = entry["gene_object"]
         out_path = event_output_path(output_dir, gene, gene_id)
         if os.path.isfile(out_path):
             if verbose:
-                print("Output filename %s exists, not running MISO." % out_path)
-            skipped += 1
-            continue
+                print("Output filename %s exists, not running MISO."
+                      % out_path)
+            return None
         lo, hi = gene.genomic_span()
         raw = sam_io.fetch_bam_reads_in_gene(
             alignments, gene.chrom, lo - 1, hi)
@@ -287,11 +286,24 @@ def compute_all_genes_psi(
             raw, paired_end=cfg.paired_end, strand_rule=cfg.strand_rule,
             target_strand=gene.strand,
             given_read_len=cfg.filter_read_len)
-        ev = compile_gene_event(gene, gene_id, reads, cfg)
-        if ev is None:
-            skipped += 1
-            continue
-        events.append(ev)
+        return compile_gene_event(gene, gene_id, reads, cfg)
+
+    items = sorted(id_to_fname.items())
+    if items and getattr(alignments, "references", None):
+        # build the region index once before fanning out threads
+        list(alignments.fetch(alignments.references[0], 0, 0))
+    # the native matcher releases the GIL inside ctypes calls, so event
+    # compilation threads scale on real catalogs (the reference's
+    # num_processors knob, settings.py:148, repurposed host-side)
+    workers = max(1, (settings.get_num_processors() or 1))
+    if workers > 1 and len(items) > 64:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            compiled = list(pool.map(compile_one, items))
+    else:
+        compiled = [compile_one(it) for it in items]
+    events: List[CompiledEvent] = [ev for ev in compiled if ev is not None]
+    skipped = len(items) - len(events)
     t_compile = time.time() - t0
 
     results = run_events(events, cfg, seed=seed)

@@ -268,3 +268,64 @@ def test_paired_end_cli(tmp_path):
     mean = float(data.samples[:, 0].mean())
     # paired-end events are strongly identified
     assert abs(mean - 0.65) < 0.12, mean
+
+
+def test_multi_isoform_cli(tmp_path):
+    """A 4-isoform gene through the CLI (multi-isoform quantitation,
+    reference manual 'Advanced uses')."""
+    import numpy as np
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.io.gff import GFFRecord, write_gff
+    from miso_tpu.io.miso_file import MISOSamples
+    from miso_tpu.io.sam import AlignedRead, write_bam
+
+    gid = "multi4"
+    exon_lens = [120, 60, 80, 50, 120]
+    isoforms = [[1, 2, 3, 4, 5], [1, 3, 4, 5], [1, 2, 4, 5], [1, 5]]
+    g = make_gene(exon_lens, isoforms, chrom="chrM", label=gid)
+    g.strand = "+"
+    recs = [GFFRecord("chrM", "sim", "gene", *g.genomic_span(), None, "+",
+                      None, {"ID": [gid]})]
+    for k, iso in enumerate(g.isoforms):
+        iid = "%s.i%d" % (gid, k)
+        lo, hi = g.iso_genomic_span(k)
+        recs.append(GFFRecord("chrM", "sim", "mRNA", lo, hi, None, "+",
+                              None, {"ID": [iid], "Parent": [gid]}))
+        for p in iso.parts:
+            part = g.parts[p]
+            recs.append(GFFRecord("chrM", "sim", "exon", part.start,
+                                  part.end, None, "+", None,
+                                  {"ID": ["%s.e%d" % (iid, p)],
+                                   "Parent": [iid]}))
+    gff = str(tmp_path / "m.gff")
+    write_gff(recs, gff)
+    true_psi = np.array([0.4, 0.3, 0.2, 0.1])
+    rng = np.random.default_rng(17)
+    _, pos, cig = simulate_reads(g, true_psi, 3000, 30, rng)
+    reads = [AlignedRead("r%d" % i, 0, "chrM", int(pos[i]) - 1, 255,
+                         cig[i], 30) for i in range(len(pos))]
+    reads.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "m.bam")
+    write_bam(bam, ["chrM"], [10000], reads)
+    idx = str(tmp_path / "idx")
+    assert index_main(["--index", gff, idx]) == 0
+    settings = tmp_path / "s.txt"
+    settings.write_text(FAST_SETTINGS)
+    out = str(tmp_path / "out")
+    rc = miso_main(["--run", idx, bam, "--output-dir", out,
+                    "--read-len", "30", "--settings-filename",
+                    str(settings)])
+    assert rc == 0
+    data = MISOSamples(out).get_event_samples(gid)
+    assert data is not None and data.samples.shape[1] == 4
+    mean = data.samples.mean(axis=0)
+    assert np.all(np.abs(mean - true_psi) < 0.15), (mean, true_psi)
+    # summary formats multi-isoform means/CIs as comma lists
+    from miso_tpu.io.miso_file import summarize_sampler_results
+    summ = str(tmp_path / "m.miso_summary")
+    assert summarize_sampler_results(out, summ) == 1
+    line = open(summ).read().splitlines()[1].split("\t")
+    assert line[1].count(",") == 3  # 4 comma-separated means
