@@ -273,7 +273,11 @@ def compute_all_genes_psi(
         gene_id, pickle_fname = item
         entry = load_indexed_gene(pickle_fname)[gene_id]
         gene: Gene = entry["gene_object"]
-        out_path = event_output_path(output_dir, gene, gene_id)
+        # --compress-id indexes name outputs by the hashed ID
+        # (index_gff.py:80-99; summarize/compare map back via
+        # --use-compressed)
+        out_name = entry.get("compressed_id") or gene_id
+        out_path = event_output_path(output_dir, gene, out_name)
         if os.path.isfile(out_path):
             if verbose:
                 print("Output filename %s exists, not running MISO."
@@ -286,7 +290,7 @@ def compute_all_genes_psi(
             raw, paired_end=cfg.paired_end, strand_rule=cfg.strand_rule,
             target_strand=gene.strand,
             given_read_len=cfg.filter_read_len)
-        return compile_gene_event(gene, gene_id, reads, cfg)
+        return compile_gene_event(gene, out_name, reads, cfg)
 
     items = sorted(id_to_fname.items())
     if items and getattr(alignments, "references", None):

@@ -329,3 +329,36 @@ def test_multi_isoform_cli(tmp_path):
     assert summarize_sampler_results(out, summ) == 1
     line = open(summ).read().splitlines()[1].split("\t")
     assert line[1].count(",") == 3  # 4 comma-separated means
+
+
+def test_compress_id_roundtrip(tmp_path, index_dir, bam_file,
+                               settings_file):
+    """--compress-id indexing: outputs named by hash, summarize/compare
+    map back with --use-compressed (index_gff.py:22-26, 80-118)."""
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.cli.summarize import main as summarize_main
+    from miso_tpu.io.gff import COMPRESS_PREFIX
+
+    cidx = str(tmp_path / "cindex")
+    assert index_main(["--index", REF_GFF, cidx, "--compress-id"]) == 0
+    out = str(tmp_path / "cout")
+    rc = miso_main(["--run", cidx, bam_file, "--output-dir", out,
+                    "--read-len", "36",
+                    "--settings-filename", settings_file])
+    assert rc == 0
+    miso_files = [f for f in os.listdir(os.path.join(out, "10"))
+                  if f.endswith(".miso")]
+    assert len(miso_files) == 1
+    assert miso_files[0].startswith(COMPRESS_PREFIX)
+    sdir = str(tmp_path / "csumm")
+    rc = summarize_main(["--summarize-samples", out, sdir,
+                         "--use-compressed",
+                         os.path.join(cidx,
+                                      "compressed_ids_to_genes.shelve")])
+    assert rc == 0
+    summary = os.path.join(sdir, "summary", "cout.miso_summary")
+    lines = open(summary).read().splitlines()
+    assert len(lines) == 2
+    # event name mapped back to the uncompressed gene ID
+    assert lines[1].startswith("ENSMUSG00000019943\t")
