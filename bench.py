@@ -19,7 +19,8 @@ import time
 import numpy as np
 
 
-def build_catalog(num_events, reads_per_event=200, seed=0):
+def build_catalog(num_events, reads_per_event=200, seed=0,
+                  algorithm="reassign"):
     from miso_tpu.core.events import compile_single_end, pad_events
     from miso_tpu.core.gene import make_gene
     from miso_tpu.core.simulate import simulate_reads
@@ -39,7 +40,8 @@ def build_catalog(num_events, reads_per_event=200, seed=0):
         psi = rng.dirichlet(np.ones(g.num_isoforms))
         _, pos, cig = simulate_reads(g, psi, reads_per_event, 25, rng)
         protos.append(
-            compile_single_end(g, pos, cig, read_len=25, name="ev%d" % e))
+            compile_single_end(g, pos, cig, read_len=25, name="ev%d" % e,
+                               algorithm=algorithm))
     events = [protos[i % len(protos)] for i in range(num_events)]
     pad = pad_events(events, pad_iso=4, pad_classes=8)
     return EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
@@ -57,13 +59,23 @@ def main():
     from miso_tpu.sampler.mcmc import SamplerConfig, run_batch
 
     num_events = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
-    cfg = SamplerConfig(iters=5000, burn_in=500, lag=10, chains=6)
-    batch = build_catalog(num_events)
+    # optional 2nd arg: 'reassign' (default; the reference CLI's algorithm,
+    # misopy/miso_sampler.py:322) | 'marginal' | 'classes' (the reference's
+    # fast single-end scheme, docs/source/updates.rst:20-22)
+    algorithm = sys.argv[2] if len(sys.argv) > 2 else "reassign"
+    cfg = SamplerConfig(iters=5000, burn_in=500, lag=10, chains=6,
+                        algorithm=algorithm)
+    batch = build_catalog(num_events, algorithm=algorithm)
     key = jax.random.PRNGKey(0)
 
     if jax.default_backend() == "tpu":
-        # fused Pallas kernel: fastest measured reassign path on TPU
-        from miso_tpu.sampler.pallas_kernel import run_batch_pallas as runner
+        # fused Pallas kernels: fastest measured paths on TPU
+        if algorithm in ("marginal", "classes"):
+            from miso_tpu.sampler.pallas_marginal import (
+                run_batch_pallas_marginal as runner)
+        else:
+            from miso_tpu.sampler.pallas_kernel import (
+                run_batch_pallas as runner)
     else:
         runner = run_batch
 

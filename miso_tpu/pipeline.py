@@ -177,15 +177,23 @@ def run_events(
                 start_psi = sp
             backend = cfg.backend
             if backend == "auto":
-                # measured on v5e at E=2048: fused Pallas kernel 2085
-                # events/s vs XLA scan 1998 (docs/VALIDATION.md)
+                # measured on v5e at E=2048: fused Pallas kernels beat the
+                # XLA scan on every algorithm (docs/VALIDATION.md)
                 backend = ("pallas" if jax.default_backend() == "tpu"
-                           and cfg.algorithm == "reassign"
-                           and sampler_cfg.gibbs == "perread" else "xla")
+                           and (cfg.algorithm in ("marginal", "classes")
+                                or sampler_cfg.gibbs == "perread")
+                           else "xla")
             if mesh is not None:
                 from miso_tpu.parallel.mesh import run_batch_sharded
                 res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh)
-            elif backend == "pallas" and start_psi is None:
+            elif (backend == "pallas" and start_psi is None
+                  and cfg.algorithm in ("marginal", "classes")):
+                from miso_tpu.sampler.pallas_marginal import (
+                    run_batch_pallas_marginal)
+                res = run_batch_pallas_marginal(key, batch, sampler_cfg)
+            elif (backend == "pallas" and start_psi is None
+                  and cfg.algorithm == "reassign"
+                  and sampler_cfg.gibbs == "perread"):
                 from miso_tpu.sampler.pallas_kernel import run_batch_pallas
                 res = run_batch_pallas(key, batch, sampler_cfg)
             else:

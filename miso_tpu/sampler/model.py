@@ -139,8 +139,15 @@ def score_marginal(psi, weights, counts):
     MARGINAL uses the per-read match/effLen matrix with counts=1 collapsed
     to classes; CLASSES uses the row-normalized assignment matrix with the
     read-class count vector).
+
+    The contraction is written elementwise, NOT as `weights @ psi`: on TPU
+    the default matmul precision routes f32 through the MXU in bfloat16,
+    and the resulting ~2^-8 relative noise in s -- amplified by `counts`
+    in log space -- perturbs the MH ratio by whole units (measured:
+    acceptance 0.24 vs the exact 0.84).  The (C, I) contraction is tiny;
+    the VPU form is exact and just as fast.
     """
-    s = weights @ psi  # (C,)
+    s = jnp.sum(weights * psi[None, :], axis=1)  # (C,)
     return jnp.sum(jnp.where(s > 0, counts * jnp.log(s), 0.0))
 
 

@@ -142,8 +142,13 @@ def _sampler_kernel(
 
         read_prob cancels in the MH ratio (it depends only on the
         assignment, not psi) and is consumed only by the RECORDED
-        log-likelihood -- compute_rp=False skips its reduction on the
-        ~(lag-1)/lag of iterations whose score is never recorded."""
+        log-likelihood -- compute_rp=False takes the cheaper
+        count-difference path: read r draws isoform i iff
+        cums[i-1] < u_r <= cums[i], so n_i is a difference of two
+        count-of-(cums >= u) reductions and the per-read one-hot never
+        materializes.  Zero-weight isoforms contribute cums[i]==cums[i-1]
+        and cancel exactly; padded reads (total==0) are excluded by
+        forcing u above every cumsum."""
         rws: List = []
         cums: List = []
         acc = None
@@ -152,6 +157,19 @@ def _sampler_kernel(
             rws.append(rw_i)
             acc = rw_i if acc is None else acc + rw_i
             cums.append(acc)
+        if not compute_rp:
+            # u in (0, total]; padded reads get u = 1 > total = 0
+            u = jnp.where(acc > 0,
+                          jnp.maximum(_u01((B, R)), 2.0 ** -24) * acc, 1.0)
+            n_cols = []
+            prev = None
+            for i in range(I):
+                cnt = jnp.sum(jnp.where(cums[i] >= u, 1.0, 0.0),
+                              axis=1, keepdims=True)
+                n_cols.append(cnt if prev is None else cnt - prev)
+                prev = cnt
+            return jnp.concatenate(n_cols, axis=1), jnp.zeros(
+                (B, 1), jnp.float32)
         u = _u01((B, R)) * acc
         n_cols = []
         read_prob = jnp.zeros((B, 1), jnp.float32)
@@ -162,10 +180,9 @@ def _sampler_kernel(
                     rws[i] > 0),
                 1.0, 0.0)
             n_cols.append(jnp.sum(oh, axis=1, keepdims=True))
-            if compute_rp:
-                read_prob = read_prob + jnp.sum(
-                    oh * read_logscore[:, i * R:(i + 1) * R],
-                    axis=1, keepdims=True)
+            read_prob = read_prob + jnp.sum(
+                oh * read_logscore[:, i * R:(i + 1) * R],
+                axis=1, keepdims=True)
         return jnp.concatenate(n_cols, axis=1), read_prob
 
     # ---- init (miso.c:348-371 AUTO start + :834 propose + :840 gibbs)

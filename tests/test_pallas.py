@@ -48,6 +48,37 @@ def test_pallas_matches_exact_posterior():
     assert np.all(np.abs(means - exact) < 0.02), (means, exact)
 
 
+def test_pallas_marginal_agrees_with_xla():
+    """Fused MARGINAL/CLASSES kernel: posterior means and acceptance rate
+    match the XLA scan sampler (which matches the grid-exact posterior of
+    the collapsed model in test_sampler.py)."""
+    from miso_tpu.core.events import compile_single_end, pad_events
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
+    from miso_tpu.sampler.pallas_marginal import run_batch_pallas_marginal
+
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+    rng = np.random.default_rng(42)
+    _, pos, cig = simulate_reads(g, [0.7, 0.3], 2000, 25, rng)
+    for algo in ("marginal", "classes"):
+        ev = compile_single_end(g, pos, cig, read_len=25, algorithm=algo)
+        batch = EventBatch(**{k: np.asarray(v)
+                              for k, v in pad_events([ev] * 8).items()})
+        cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=4,
+                            algorithm=algo)
+        r1 = run_batch_pallas_marginal(jax.random.PRNGKey(0), batch, cfg)
+        r2 = run_batch(jax.random.PRNGKey(1), batch, cfg)
+        m1 = np.asarray(r1.flat_samples())[:, :, 0].mean(axis=1)
+        m2 = float(np.asarray(r2.flat_samples())[:, :, 0].mean())
+        assert np.all(np.abs(m1 - m2) < 0.025), (algo, m1, m2)
+        a1 = float(r1.accepted[0]) / (cfg.iters * cfg.chains)
+        a2 = float(r2.accepted[0]) / (cfg.iters * cfg.chains)
+        # also guards the TPU matmul-precision fix in score_marginal
+        # (bf16 MXU noise dropped XLA acceptance from 0.84 to 0.24)
+        assert abs(a1 - a2) < 0.05, (algo, a1, a2)
+
+
 def test_pallas_agrees_with_xla_sampler():
     from miso_tpu.core.events import pad_events
     from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
