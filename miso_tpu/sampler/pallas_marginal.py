@@ -88,7 +88,7 @@ def _marginal_kernel(
         return head + last_onehot * (1.0 - jnp.sum(head, axis=0,
                                                    keepdims=True))
 
-    def joint_score(psi):
+    def joint_score(psi, logpsi):
         """Marginal read term (miso.c:272-293) + Dirichlet prior."""
         s = None
         for i in range(I):
@@ -98,20 +98,20 @@ def _marginal_kernel(
             jnp.where(s > 0, counts * _safe_log(s), 0.0),
             axis=0, keepdims=True)
         dirp = jnp.sum(
-            jnp.where(iso_mask > 0, (hyper - 1.0) * _safe_log(psi), 0.0),
+            jnp.where(iso_mask > 0, (hyper - 1.0) * logpsi, 0.0),
             axis=0, keepdims=True) + dir_const
         return read_term + dirp
 
-    def proposal_score(psi, mu_alpha):
-        ltheta = jnp.sum(psi * last_onehot, axis=0, keepdims=True)
-        logpsi = jnp.where(amask > 0, _safe_log(psi), 0.0)
-        tmp = jnp.where(amask > 0,
-                        logpsi - _safe_log(ltheta) - mu_alpha, 0.0)
+    def proposal_score(logpsi, mu_alpha):
+        # log(ltheta) is logpsi at the remainder isoform
+        lth = jnp.sum(logpsi * last_onehot, axis=0, keepdims=True)
+        lpm = jnp.where(amask > 0, logpsi, 0.0)
+        tmp = jnp.where(amask > 0, lpm - lth - mu_alpha, 0.0)
         exp_part = -0.5 * jnp.sum(tmp * tmp, axis=0,
                                   keepdims=True) * inv_sigma
         return (prop_const
-                - jnp.sum(logpsi, axis=0, keepdims=True)
-                - _safe_log(ltheta) + exp_part)
+                - jnp.sum(lpm, axis=0, keepdims=True)
+                - lth + exp_part)
 
     # ---- init (miso.c:348-371 AUTO start + :834 initial proposal)
     km1 = jnp.sum(amask, axis=0, keepdims=True)
@@ -121,24 +121,28 @@ def _marginal_kernel(
         0.0)
     alpha = alpha0 + noise_scale * _normal((I, B)) * amask
     psi = logistic_inv(alpha)
-    cjs = joint_score(psi)
+    logpsi = _safe_log(psi)
+    cjs = joint_score(psi, logpsi)
     acc_count = jnp.zeros((1, B), jnp.float32)
 
-    def step(m, alpha, psi, cjs, acc_count):
+    def step(m, alpha, psi, logpsi, cjs, acc_count):
         full = (m > 0).astype(jnp.float32)
         alpha_new = alpha + noise_scale * _normal((I, B)) * amask
         psi_new = logistic_inv(alpha_new)
-        pjs = joint_score(psi_new)
-        pto_c = proposal_score(psi, alpha_new)
-        cto_p = proposal_score(psi_new, alpha)
+        logpsi_new = _safe_log(psi_new)
+        pjs = joint_score(psi_new, logpsi_new)
+        pto_c = proposal_score(logpsi, alpha_new)
+        cto_p = proposal_score(logpsi_new, alpha)
         logr = (pjs - cjs) + full * (pto_c - cto_p)
         u = jnp.maximum(_u01((1, B)), 2.0 ** -24)
         accept = jnp.where(
             jnp.logical_or(logr >= 0, jnp.log(u) < logr), 1.0, 0.0)
-        psi = accept * psi_new + (1.0 - accept) * psi
-        alpha = accept * alpha_new + (1.0 - accept) * alpha
-        cjs = accept * pjs + (1.0 - accept) * cjs
-        return alpha, psi, cjs, acc_count + accept
+        rej = 1.0 - accept
+        psi = accept * psi_new + rej * psi
+        alpha = accept * alpha_new + rej * alpha
+        logpsi = accept * logpsi_new + rej * logpsi
+        cjs = accept * pjs + rej * cjs
+        return alpha, psi, logpsi, cjs, acc_count + accept
 
     def plain_body(m, carry):
         return step(m, *carry)
@@ -152,7 +156,7 @@ def _marginal_kernel(
     RREC = cfg.num_records
     tail_start = phase + nblocks * cfg.lag
 
-    state = (alpha, psi, cjs, acc_count)
+    state = (alpha, psi, logpsi, cjs, acc_count)
     pre = phase + rec_offset * cfg.lag
     if pre > 0:
         state = jax.lax.fori_loop(0, pre, plain_body, state)
@@ -165,23 +169,25 @@ def _marginal_kernel(
         stage_ll = jnp.zeros((128, B), jnp.float32)
 
         def chunk_body(blk, carry, chunk=chunk):
-            alpha, psi, cjs, acc_count, stage_psi, stage_ll = carry
+            st = carry[:-2]
+            stage_psi, stage_ll = carry[-2], carry[-1]
             m0 = pre + (chunk * 128 + blk) * cfg.lag
 
-            def inner(j, st):
-                return step(m0 + j, *st)
+            def inner(j, s):
+                return step(m0 + j, *s)
 
-            alpha, psi, cjs, acc_count = jax.lax.fori_loop(
-                0, cfg.lag, inner, (alpha, psi, cjs, acc_count))
+            st = jax.lax.fori_loop(0, cfg.lag, inner, st)
+            psi, cjs = st[1], st[3]
             mask = sub == blk
             stage_psi = [jnp.where(mask, psi[i:i + 1], stage_psi[i])
                          for i in range(I)]
             stage_ll = jnp.where(mask, cjs, stage_ll)
-            return alpha, psi, cjs, acc_count, stage_psi, stage_ll
+            return st + (stage_psi, stage_ll)
 
-        alpha, psi, cjs, acc_count, stage_psi, stage_ll = jax.lax.fori_loop(
-            0, n_in_chunk, chunk_body, state + (stage_psi, stage_ll))
-        state = (alpha, psi, cjs, acc_count)
+        carry = jax.lax.fori_loop(0, n_in_chunk, chunk_body,
+                                  state + (stage_psi, stage_ll))
+        state = carry[:-2]
+        stage_psi, stage_ll = carry[-2], carry[-1]
         lo, hi = chunk * 128, (chunk + 1) * 128
         for i in range(I):
             psi_out_ref[0, i, lo:hi, :] = stage_psi[i]
@@ -190,9 +196,8 @@ def _marginal_kernel(
     if tail_start < cfg.iters:
         state = jax.lax.fori_loop(tail_start, cfg.iters, plain_body, state)
 
-    alpha, psi, cjs, acc_count = state
-    acc_out_ref[0] = acc_count
-    finalpsi_out_ref[0] = psi
+    acc_out_ref[0] = state[4]
+    finalpsi_out_ref[0] = state[1]
 
 
 def _block_events(E: int, K: int, I: int, RPAD: int) -> int:

@@ -179,3 +179,55 @@ def test_noise_simulator():
     # losing exclusion reads shrinks the read set
     assert len(pos) < len(pos2)
     assert len(pos) == len(cig)
+
+
+def test_rpkm_cli(tmp_path):
+    """miso_rpkm --compute-rpkm over the sashimi fixture BAM.
+    Parity: misopy/sam_rpkm.py:64+ (compute_rpkm)."""
+    from miso_tpu.cli.rpkm import main
+    rc = main(["--compute-rpkm", EVENTS_GFF, BAM, "--read-len", "36",
+               "--output-dir", str(tmp_path)])
+    assert rc == 0
+    out = tmp_path / (os.path.basename(BAM) + ".rpkm")
+    lines = out.read_text().splitlines()
+    assert lines[0].startswith("gene_id\trpkm")
+    assert len(lines) >= 2
+    vals = lines[1].split("\t")
+    assert float(vals[1]) >= 0 and int(vals[2]) > 0
+
+
+def test_run_events_analysis_check(tmp_path):
+    """run_events_analysis.py --check runs the GFF/BAM sanity scan.
+    Parity: misopy/run_events_analysis.py:74-194 (check_gff_and_bam)."""
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.run_events_analysis import main
+    idx = str(tmp_path / "index")
+    assert index_main(["--index", EVENTS_GFF, idx]) == 0
+    assert main(["--check", idx, BAM]) == 0
+    # legacy flags point at `miso --run` and fail loudly
+    assert main([]) == 1
+
+
+def test_module_availability_cli():
+    """Dependency probe exits 0 with the baked-in stack.
+    Parity: misopy/module_availability.py:11-56."""
+    from miso_tpu.cli.module_availability import main
+    assert main([]) == 0
+
+
+def test_sam_to_bam_roundtrip(tmp_path):
+    """sam_to_bam --convert produces a sorted BAM our reader accepts.
+    Parity: misopy/sam_to_bam.py:8-42."""
+    from miso_tpu.cli.sam_to_bam import main
+    from miso_tpu.io.sam import BamReader
+    sam = "/root/reference/misopy/test-data/sam-data/c2c12.Atp2b1.sam"
+    out = str(tmp_path / "bams")
+    assert main(["--convert", sam, out]) == 0
+    bam = os.path.join(out, "c2c12.Atp2b1.sorted.bam")
+    assert os.path.isfile(bam)
+    reader = BamReader(bam)
+    reads = list(reader)
+    assert len(reads) > 1000
+    # sorted by position
+    pos = [r.pos for r in reads if r.rname == reads[0].rname]
+    assert pos == sorted(pos)
