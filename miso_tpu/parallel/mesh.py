@@ -56,17 +56,46 @@ def run_batch_sharded(
     batch: EventBatch,
     cfg: SamplerConfig,
     mesh: Optional[Mesh] = None,
+    backend: str = "auto",
 ) -> SamplerResult:
     """Run the sampler over a sharded catalog.
 
     The per-event computation partitions cleanly along the event axis;
     XLA keeps every tensor sharded and the result arrives sharded, so
     posterior reduction can also stay on-device.
+
+    backend='pallas' (the 'auto' choice on TPU) launches the fused Pallas
+    kernel per shard under shard_map -- the event axis has no cross-chip
+    traffic, so each chip runs the same single-chip kernel on its slice.
     """
     if mesh is None:
         mesh = make_event_mesh()
+    if backend == "auto":
+        backend = ("pallas"
+                   if all(d.platform == "tpu"
+                          for d in mesh.devices.flat)
+                   and cfg.algorithm in ("reassign", "marginal", "classes")
+                   and cfg.gibbs == "perread"
+                   else "xla")
     sharded = shard_batch(batch, mesh)
-    return run_batch(key, sharded, cfg)
+    if backend != "pallas":
+        return run_batch(key, sharded, cfg)
+
+    if cfg.algorithm == "reassign":
+        from miso_tpu.sampler.pallas_kernel import run_batch_pallas as runner
+    else:
+        from miso_tpu.sampler.pallas_marginal import (
+            run_batch_pallas_marginal as runner)
+    ev_spec = EventBatch(*([P(EVENT_AXIS)] * len(EventBatch._fields)))
+    out_spec = SamplerResult(*([P(EVENT_AXIS)] * len(SamplerResult._fields)))
+    def per_shard(k, b):
+        # decorrelate the on-core PRNG streams across shards
+        k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
+        return runner(k, b, cfg)
+
+    f = jax.shard_map(per_shard, mesh=mesh, in_specs=(P(), ev_spec),
+                      out_specs=out_spec, check_vma=False)
+    return f(key, sharded)
 
 
 def posterior_summary(result: SamplerResult):

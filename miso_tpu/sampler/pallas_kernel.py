@@ -116,34 +116,28 @@ def _sampler_kernel(
         return head + last_onehot * (1.0 - jnp.sum(head, axis=0,
                                                    keepdims=True))
 
-    def psi_derived(psi):
-        """All psi-only score pieces; carried between iterations (they
-        change only on accept, so a select replaces the log/exp chain)."""
-        logpsi = _safe_log(psi)                               # (I, B)
-        lp = jnp.where(iso_mask > 0, logpsi + log_iso_w, NEG_BIG)
+    def joint_score(psi, n, read_prob):
+        lp = jnp.where(iso_mask > 0, _safe_log(psi) + log_iso_w, NEG_BIG)
         mx = jnp.max(lp, axis=0, keepdims=True)
         lse = _safe_log(jnp.sum(jnp.exp(lp - mx), axis=0,
                                 keepdims=True)) + mx
-        dirp = jnp.sum(
-            jnp.where(iso_mask > 0, (hyper - 1.0) * logpsi, 0.0),
-            axis=0, keepdims=True) + dir_const
-        return logpsi, lp, lse, dirp
-
-    def joint_score(n, read_prob, lp, lse, dirp):
         ass = jnp.sum(jnp.where(n > 0, n * (lp - lse), 0.0), axis=0,
                       keepdims=True)
+        dirp = jnp.sum(
+            jnp.where(iso_mask > 0, (hyper - 1.0) * _safe_log(psi), 0.0),
+            axis=0, keepdims=True) + dir_const
         return read_prob + ass + dirp
 
-    def proposal_score(logpsi, mu_alpha):
-        # log(ltheta) is logpsi at the remainder isoform
-        lth = jnp.sum(logpsi * last_onehot, axis=0, keepdims=True)
-        lpm = jnp.where(amask > 0, logpsi, 0.0)
-        tmp = jnp.where(amask > 0, lpm - lth - mu_alpha, 0.0)
+    def proposal_score(psi, mu_alpha):
+        ltheta = jnp.sum(psi * last_onehot, axis=0, keepdims=True)
+        logpsi = jnp.where(amask > 0, _safe_log(psi), 0.0)
+        tmp = jnp.where(amask > 0,
+                        logpsi - _safe_log(ltheta) - mu_alpha, 0.0)
         exp_part = -0.5 * jnp.sum(tmp * tmp, axis=0,
                                   keepdims=True) * inv_sigma
         return (prop_const
-                - jnp.sum(lpm, axis=0, keepdims=True)
-                - lth + exp_part)
+                - jnp.sum(logpsi, axis=0, keepdims=True)
+                - _safe_log(ltheta) + exp_part)
 
     # Read validity is STATIC per (read, lane): psi of real isoforms is
     # strictly positive, so total weight > 0 iff any compatible isoform
@@ -198,43 +192,36 @@ def _sampler_kernel(
         0.0)
     alpha = alpha0 + noise_scale * _normal((I, B)) * amask
     psi = logistic_inv(alpha)
-    logpsi, lp, lse, dirp = psi_derived(psi)
     n, rp = gibbs(psi)
     acc_count = jnp.zeros((1, B), jnp.float32)
 
-    def step(m, st, compute_rp=True):
+    def step(m, alpha, psi, n, rp, acc_count, compute_rp=True):
         """One MH+Gibbs iteration; returns new state + post-accept score."""
-        alpha, psi, logpsi, lp, lse, dirp, n, rp, acc_count = st
         full = (m > 0).astype(jnp.float32)
         alpha_new = alpha + noise_scale * _normal((I, B)) * amask
         psi_new = logistic_inv(alpha_new)
-        logpsi_new, lp_new, lse_new, dirp_new = psi_derived(psi_new)
 
-        cjs = joint_score(n, rp, lp, lse, dirp)
-        pjs = joint_score(n, rp, lp_new, lse_new, dirp_new)
-        pto_c = proposal_score(logpsi, alpha_new)
-        cto_p = proposal_score(logpsi_new, alpha)
+        cjs = joint_score(psi, n, rp)
+        pjs = joint_score(psi_new, n, rp)
+        pto_c = proposal_score(psi, alpha_new)
+        cto_p = proposal_score(psi_new, alpha)
         logr = (pjs - cjs) + full * (pto_c - cto_p)
 
         u = jnp.maximum(_u01((1, B)), 2.0 ** -24)
         accept = jnp.where(
             jnp.logical_or(logr >= 0, jnp.log(u) < logr), 1.0, 0.0)
-        rej = 1.0 - accept
-        psi = accept * psi_new + rej * psi
-        alpha = accept * alpha_new + rej * alpha
-        logpsi = accept * logpsi_new + rej * logpsi
-        lp = accept * lp_new + rej * lp
-        lse = accept * lse_new + rej * lse
-        dirp = accept * dirp_new + rej * dirp
-        cjs_after = accept * pjs + rej * cjs
+        psi = accept * psi_new + (1.0 - accept) * psi
+        alpha = accept * alpha_new + (1.0 - accept) * alpha
+        cjs_after = accept * pjs + (1.0 - accept) * cjs
         acc_count = acc_count + accept
         n, rp = gibbs(psi, compute_rp=compute_rp)
-        return (alpha, psi, logpsi, lp, lse, dirp, n, rp,
-                acc_count), cjs_after
+        return alpha, psi, n, rp, acc_count, cjs_after
 
     def plain_body(m, carry):
-        carry, _ = step(m, carry, compute_rp=False)
-        return carry
+        alpha, psi, n, rp, acc_count = carry
+        alpha, psi, n, rp, acc_count, _ = step(m, alpha, psi, n, rp,
+                                               acc_count, compute_rp=False)
+        return alpha, psi, n, rp, acc_count
 
     # Static record schedule (matches mcmc.py): burn_in steps, then a
     # record after every `lag` steps; phase aligns blocks.  Only the step
@@ -246,7 +233,7 @@ def _sampler_kernel(
     RREC = cfg.num_records
     tail_start = phase + nblocks * cfg.lag
 
-    state = (alpha, psi, logpsi, lp, lse, dirp, n, rp, acc_count)
+    state = (alpha, psi, n, rp, acc_count)
     pre = phase + rec_offset * cfg.lag
     if pre > 0:
         state = jax.lax.fori_loop(0, pre, plain_body, state)
@@ -259,35 +246,39 @@ def _sampler_kernel(
         stage_ll = jnp.zeros((128, B), jnp.float32)
 
         def chunk_body(blk, carry, chunk=chunk):
-            st = carry[:-2]
-            stage_psi, stage_ll = carry[-2], carry[-1]
+            alpha, psi, n, rp, acc_count, stage_psi, stage_ll = carry
             m0 = pre + (chunk * 128 + blk) * cfg.lag
 
-            def inner(j, s):
-                s, _ = step(m0 + j, s, compute_rp=(cfg.lag == 1))
-                return s
+            def inner(j, st):
+                a, p, nn, r, ac = st
+                a, p, nn, r, ac, _ = step(m0 + j, a, p, nn, r, ac,
+                                          compute_rp=(cfg.lag == 1))
+                return a, p, nn, r, ac
 
             # lag-2 cheap steps, one rp step feeding the recorded score,
             # then the record step itself
             if cfg.lag >= 2:
-                st = jax.lax.fori_loop(0, cfg.lag - 2, inner, st)
-                st, _ = step(m0 + cfg.lag - 2, st, compute_rp=True)
-            st, cjs_after = step(m0 + cfg.lag - 1, st,
-                                 compute_rp=(cfg.lag == 1))
+                alpha, psi, n, rp, acc_count = jax.lax.fori_loop(
+                    0, cfg.lag - 2, inner, (alpha, psi, n, rp, acc_count))
+                alpha, psi, n, rp, acc_count, _ = step(
+                    m0 + cfg.lag - 2, alpha, psi, n, rp, acc_count,
+                    compute_rp=True)
+            alpha, psi, n, rp, acc_count, cjs_after = step(
+                m0 + cfg.lag - 1, alpha, psi, n, rp, acc_count,
+                compute_rp=(cfg.lag == 1))
 
             mask = sub == blk
             if _DEBUG_NO_RECORD:
                 mask = sub < 0
-            psi = st[1]
             stage_psi = [jnp.where(mask, psi[i:i + 1], stage_psi[i])
                          for i in range(I)]
             stage_ll = jnp.where(mask, cjs_after, stage_ll)
-            return st + (stage_psi, stage_ll)
+            return alpha, psi, n, rp, acc_count, stage_psi, stage_ll
 
-        carry = jax.lax.fori_loop(0, n_in_chunk, chunk_body,
-                                  state + (stage_psi, stage_ll))
-        state = carry[:-2]
-        stage_psi, stage_ll = carry[-2], carry[-1]
+        alpha, psi, n, rp, acc_count, stage_psi, stage_ll = (
+            jax.lax.fori_loop(0, n_in_chunk, chunk_body,
+                              state + (stage_psi, stage_ll)))
+        state = (alpha, psi, n, rp, acc_count)
         lo, hi = chunk * 128, (chunk + 1) * 128
         for i in range(I):
             psi_out_ref[0, i, lo:hi, :] = stage_psi[i]
@@ -296,9 +287,10 @@ def _sampler_kernel(
     if tail_start < cfg.iters:
         state = jax.lax.fori_loop(tail_start, cfg.iters, plain_body, state)
 
-    acc_out_ref[0] = state[8]
-    finaln_out_ref[0] = state[6]
-    finalpsi_out_ref[0] = state[1]
+    alpha, psi, n, rp, acc_count = state
+    acc_out_ref[0] = acc_count
+    finaln_out_ref[0] = n
+    finalpsi_out_ref[0] = psi
 
 
 def _block_events(E: int, R: int, K: int, I: int, RPAD: int) -> int:

@@ -17,15 +17,11 @@ measured ~5x faster than the row-major variant of this same kernel.
 Chain replication (lane index = event*K + chain) happens host-side: the
 per-event tensors are O(I*C) so the replicated copies are ~MBs.
 
-Further kernel-level specializations over the REASSIGN kernel
-(sampler/pallas_kernel.py):
-
-- The joint score depends only on psi (no resampled assignment), so the
-  current score is CARRIED between iterations; each iteration scores only
-  the proposal.
-- Records land in a 128-sublane staging tile (iota-mask select) that
-  flushes to the output block at STATIC sublane offsets -- one flush per
-  128 records.
+Records land in a 128-sublane staging tile (iota-mask select) that
+flushes to the output block at STATIC sublane offsets -- one flush per
+128 records.  All score pieces are recomputed from psi each iteration:
+carrying them across fori_loop iterations is mathematically identical
+but froze 3-isoform chains under Mosaic (see docs/VALIDATION.md).
 
 Semantics match sampler/mcmc.py run_batch(algorithm='marginal'|'classes');
 equivalence is statistical (different RNG streams), verified against the
@@ -88,7 +84,7 @@ def _marginal_kernel(
         return head + last_onehot * (1.0 - jnp.sum(head, axis=0,
                                                    keepdims=True))
 
-    def joint_score(psi, logpsi):
+    def joint_score(psi):
         """Marginal read term (miso.c:272-293) + Dirichlet prior."""
         s = None
         for i in range(I):
@@ -98,20 +94,20 @@ def _marginal_kernel(
             jnp.where(s > 0, counts * _safe_log(s), 0.0),
             axis=0, keepdims=True)
         dirp = jnp.sum(
-            jnp.where(iso_mask > 0, (hyper - 1.0) * logpsi, 0.0),
+            jnp.where(iso_mask > 0, (hyper - 1.0) * _safe_log(psi), 0.0),
             axis=0, keepdims=True) + dir_const
         return read_term + dirp
 
-    def proposal_score(logpsi, mu_alpha):
-        # log(ltheta) is logpsi at the remainder isoform
-        lth = jnp.sum(logpsi * last_onehot, axis=0, keepdims=True)
-        lpm = jnp.where(amask > 0, logpsi, 0.0)
-        tmp = jnp.where(amask > 0, lpm - lth - mu_alpha, 0.0)
+    def proposal_score(psi, mu_alpha):
+        ltheta = jnp.sum(psi * last_onehot, axis=0, keepdims=True)
+        logpsi = jnp.where(amask > 0, _safe_log(psi), 0.0)
+        tmp = jnp.where(amask > 0,
+                        logpsi - _safe_log(ltheta) - mu_alpha, 0.0)
         exp_part = -0.5 * jnp.sum(tmp * tmp, axis=0,
                                   keepdims=True) * inv_sigma
         return (prop_const
-                - jnp.sum(lpm, axis=0, keepdims=True)
-                - lth + exp_part)
+                - jnp.sum(logpsi, axis=0, keepdims=True)
+                - _safe_log(ltheta) + exp_part)
 
     # ---- init (miso.c:348-371 AUTO start + :834 initial proposal)
     km1 = jnp.sum(amask, axis=0, keepdims=True)
@@ -121,18 +117,23 @@ def _marginal_kernel(
         0.0)
     alpha = alpha0 + noise_scale * _normal((I, B)) * amask
     psi = logistic_inv(alpha)
-    logpsi = _safe_log(psi)
-    cjs = joint_score(psi, logpsi)
+    cjs = joint_score(psi)
     acc_count = jnp.zeros((1, B), jnp.float32)
 
-    def step(m, alpha, psi, logpsi, cjs, acc_count):
+    # NOTE: cjs is recomputed from psi every iteration even though the
+    # carried value is mathematically identical.  Carrying it (and/or
+    # log psi) froze 3-isoform chains under Mosaic -- every proposal
+    # rejected from iteration 0 with bit-identical symptoms in two
+    # different kernels -- while the recompute form is correct.  See
+    # docs/VALIDATION.md "carried score pieces" note.
+    def step(m, alpha, psi, cjs, acc_count):
         full = (m > 0).astype(jnp.float32)
         alpha_new = alpha + noise_scale * _normal((I, B)) * amask
         psi_new = logistic_inv(alpha_new)
-        logpsi_new = _safe_log(psi_new)
-        pjs = joint_score(psi_new, logpsi_new)
-        pto_c = proposal_score(logpsi, alpha_new)
-        cto_p = proposal_score(logpsi_new, alpha)
+        cjs = joint_score(psi)
+        pjs = joint_score(psi_new)
+        pto_c = proposal_score(psi, alpha_new)
+        cto_p = proposal_score(psi_new, alpha)
         logr = (pjs - cjs) + full * (pto_c - cto_p)
         u = jnp.maximum(_u01((1, B)), 2.0 ** -24)
         accept = jnp.where(
@@ -140,9 +141,8 @@ def _marginal_kernel(
         rej = 1.0 - accept
         psi = accept * psi_new + rej * psi
         alpha = accept * alpha_new + rej * alpha
-        logpsi = accept * logpsi_new + rej * logpsi
         cjs = accept * pjs + rej * cjs
-        return alpha, psi, logpsi, cjs, acc_count + accept
+        return alpha, psi, cjs, acc_count + accept
 
     def plain_body(m, carry):
         return step(m, *carry)
@@ -156,7 +156,7 @@ def _marginal_kernel(
     RREC = cfg.num_records
     tail_start = phase + nblocks * cfg.lag
 
-    state = (alpha, psi, logpsi, cjs, acc_count)
+    state = (alpha, psi, cjs, acc_count)
     pre = phase + rec_offset * cfg.lag
     if pre > 0:
         state = jax.lax.fori_loop(0, pre, plain_body, state)
@@ -177,7 +177,7 @@ def _marginal_kernel(
                 return step(m0 + j, *s)
 
             st = jax.lax.fori_loop(0, cfg.lag, inner, st)
-            psi, cjs = st[1], st[3]
+            psi, cjs = st[1], st[2]
             mask = sub == blk
             stage_psi = [jnp.where(mask, psi[i:i + 1], stage_psi[i])
                          for i in range(I)]
@@ -196,7 +196,7 @@ def _marginal_kernel(
     if tail_start < cfg.iters:
         state = jax.lax.fori_loop(tail_start, cfg.iters, plain_body, state)
 
-    acc_out_ref[0] = state[4]
+    acc_out_ref[0] = state[3]
     finalpsi_out_ref[0] = state[1]
 
 

@@ -48,6 +48,39 @@ def test_pallas_matches_exact_posterior():
     assert np.all(np.abs(means - exact) < 0.02), (means, exact)
 
 
+def test_pallas_three_isoform_agrees_with_xla():
+    """3+ isoform events exercise the multi-dim proposal and the padded
+    mask edge (k < I).  Guards the Mosaic carried-score freeze: broken
+    kernels rejected EVERY proposal for k=3 while passing k=2 (see
+    docs/VALIDATION.md), so acceptance agreement is asserted too."""
+    from miso_tpu.core.events import compile_single_end, pad_events
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
+    from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+    from miso_tpu.sampler.pallas_marginal import run_batch_pallas_marginal
+
+    g3 = make_gene([100, 50, 80, 100], [[1, 2, 3, 4], [1, 3, 4], [1, 4]])
+    _, pos, cig = simulate_reads(g3, [0.5, 0.3, 0.2], 3000, 25,
+                                 np.random.default_rng(7))
+    for algo, runner in (("reassign", run_batch_pallas),
+                         ("marginal", run_batch_pallas_marginal)):
+        ev = compile_single_end(g3, pos, cig, read_len=25, algorithm=algo)
+        batch = EventBatch(**{k: np.asarray(v)
+                              for k, v in pad_events([ev] * 8).items()})
+        cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=4,
+                            algorithm=algo)
+        r1 = runner(jax.random.PRNGKey(2), batch, cfg)
+        r2 = run_batch(jax.random.PRNGKey(3), batch, cfg)
+        m1 = np.asarray(r1.flat_samples())[0].mean(axis=0)
+        m2 = np.asarray(r2.flat_samples())[0].mean(axis=0)
+        assert np.all(np.abs(m1 - m2) < 0.03), (algo, m1, m2)
+        a1 = float(r1.accepted[0]) / (cfg.iters * cfg.chains)
+        a2 = float(r2.accepted[0]) / (cfg.iters * cfg.chains)
+        assert abs(a1 - a2) < 0.06, (algo, a1, a2)
+        assert a1 > 0.05, (algo, "chain frozen", a1)
+
+
 def test_pallas_marginal_agrees_with_xla():
     """Fused MARGINAL/CLASSES kernel: posterior means and acceptance rate
     match the XLA scan sampler (which matches the grid-exact posterior of
