@@ -57,6 +57,7 @@ def run_batch_sharded(
     cfg: SamplerConfig,
     mesh: Optional[Mesh] = None,
     backend: str = "auto",
+    start_psi=None,
 ) -> SamplerResult:
     """Run the sampler over a sharded catalog.
 
@@ -67,6 +68,10 @@ def run_batch_sharded(
     backend='pallas' (the 'auto' choice on TPU) launches the fused Pallas
     kernel per shard under shard_map -- the event axis has no cross-chip
     traffic, so each chip runs the same single-chip kernel on its slice.
+
+    `start_psi` (E, K, I) selects the GIVEN chain start (miso.c:405-409)
+    and routes through the XLA sampler (the fused kernels use the AUTO
+    start).
     """
     if mesh is None:
         mesh = make_event_mesh()
@@ -76,10 +81,17 @@ def run_batch_sharded(
                           for d in mesh.devices.flat)
                    and cfg.algorithm in ("reassign", "marginal", "classes")
                    and cfg.gibbs == "perread"
+                   and start_psi is None
                    else "xla")
     sharded = shard_batch(batch, mesh)
-    if backend != "pallas":
-        return run_batch(key, sharded, cfg)
+    if backend != "pallas" or start_psi is not None:
+        sp = None
+        if start_psi is not None:
+            n = mesh.devices.size
+            sp = jax.device_put(
+                pad_to_devices(np.asarray(start_psi, np.float32), n),
+                NamedSharding(mesh, P(EVENT_AXIS)))
+        return run_batch(key, sharded, cfg, start_psi=sp)
 
     if cfg.algorithm == "reassign":
         from miso_tpu.sampler.pallas_kernel import run_batch_pallas as runner

@@ -129,19 +129,44 @@ def enable_compilation_cache() -> None:
         pass
 
 
+def resolve_mesh(mesh="auto"):
+    """Resolve the event mesh for production runs.
+
+    'auto' -> 1-D mesh over all LOCAL devices when there is more than one
+    (each host quantifies its own gene shard; the event axis has no
+    cross-chip traffic, so the mesh never spans hosts); None on a
+    single-device host.  This replaces the reference's fork-per-batch
+    fan-out (misopy/miso.py:166-169,263 num_processors subprocesses).
+    """
+    if mesh != "auto":
+        return mesh
+    import jax
+
+    devices = jax.local_devices()
+    if len(devices) <= 1:
+        return None
+    from miso_tpu.parallel.mesh import make_event_mesh
+    return make_event_mesh(devices)
+
+
 def run_events(
     events: List[CompiledEvent],
     cfg: RunConfig,
     seed: int = 0,
-    mesh=None,
+    mesh="auto",
 ):
     """Run compiled events through the device sampler, bucketed by shape.
+
+    Events are sharded over all local devices (see `resolve_mesh`); pass
+    mesh=None to force single-device execution, or an explicit
+    jax.sharding.Mesh.
 
     Returns a list parallel to `events` of per-event result dicts.
     """
     import jax
 
     enable_compilation_cache()
+    mesh = resolve_mesh(mesh)
 
     sampler_cfg_base = SamplerConfig(
         iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
@@ -185,7 +210,9 @@ def run_events(
                            else "xla")
             if mesh is not None:
                 from miso_tpu.parallel.mesh import run_batch_sharded
-                res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh)
+                res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh,
+                                        backend=backend,
+                                        start_psi=start_psi)
             elif (backend == "pallas" and start_psi is None
                   and cfg.algorithm in ("marginal", "classes")):
                 from miso_tpu.sampler.pallas_marginal import (
@@ -318,11 +345,19 @@ def compute_all_genes_psi(
     skipped = len(items) - len(events)
     t_compile = time.time() - t0
 
-    results = run_events(events, cfg, seed=seed)
+    mesh = resolve_mesh("auto")
+    if verbose and mesh is not None:
+        print("Event catalog sharded over %d local devices"
+              % mesh.devices.size)
+    results = run_events(events, cfg, seed=seed, mesh=mesh)
     written = write_event_results(events, results, output_dir, cfg)
     if verbose:
         dt = time.time() - t0
+        import jax
+        n_dev = max(1, len(jax.local_devices()))
         print("Quantified %d events (%d skipped) in %.2fs "
-              "(host compile %.2fs); %.1f events/s"
-              % (written, skipped, dt, t_compile, written / max(dt, 1e-9)))
+              "(host compile %.2fs); %.1f events/s (%.1f events/s/chip)"
+              % (written, skipped, dt, t_compile,
+                 written / max(dt, 1e-9),
+                 written / max(dt, 1e-9) / n_dev))
     return written
