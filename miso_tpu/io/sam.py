@@ -6,10 +6,15 @@ pysam is replaced by a from-scratch reader:
 
 - SAM text: direct field parsing.
 - BAM: BGZF block decompression (zlib raw deflate per RFC/SAM spec) + the
-  BAM binary alignment encoding; optional .bai index is not required --
-  region fetches fall back to a filtered scan, which is sufficient for
-  the per-gene access pattern (the event compiler consumes whole-gene
-  region batches).
+  BAM binary alignment encoding.
+- Region fetches are O(region), not O(file): `IndexedBamReader` parses
+  the standard `.bai` binning/linear index (the same structure pysam
+  uses for the reference's fetches, sam_utils.py:154-181) and
+  decompresses only the BGZF blocks a region's chunks cover, so
+  genome-scale BAMs never need to fit in RAM.  If no `.bai` exists, one
+  is built by a single streaming pass and persisted next to the BAM
+  (samtools-compatible).  Small files without an index fall back to the
+  in-memory reader.
 
 Positions are 0-based here (as in pysam); the pipeline shifts +1 before
 matching, mirroring misopy/miso_sampler.py:284.
@@ -193,6 +198,394 @@ def bgzf_compress(data: bytes, level: int = 6) -> bytes:
     return b"".join(out)
 
 
+# --------------------------------------------- BGZF random access + .bai
+#
+# Virtual offsets are (compressed_block_offset << 16 | within_block_offset)
+# as in the SAM spec; the .bai reader/writer follows the published BAI
+# layout (magic, per-ref binning index + 16kb linear index) so indexes are
+# interchangeable with samtools/pysam -- the machinery behind the
+# reference's pysam region fetches (misopy/sam_utils.py:154-181).
+
+_BAI_MAGIC = b"BAI\x01"
+_LINEAR_SHIFT = 14          # 16 kb linear-index windows
+_PSEUDO_BIN = 37450         # samtools metadata pseudo-bin (skipped)
+
+
+def reg2bin(beg: int, end: int) -> int:
+    """Smallest bin containing [beg, end) (SAM spec section 5.3)."""
+    end -= 1
+    if beg >> 14 == end >> 14:
+        return ((1 << 15) - 1) // 7 + (beg >> 14)
+    if beg >> 17 == end >> 17:
+        return ((1 << 12) - 1) // 7 + (beg >> 17)
+    if beg >> 20 == end >> 20:
+        return ((1 << 9) - 1) // 7 + (beg >> 20)
+    if beg >> 23 == end >> 23:
+        return ((1 << 6) - 1) // 7 + (beg >> 23)
+    if beg >> 26 == end >> 26:
+        return ((1 << 3) - 1) // 7 + (beg >> 26)
+    return 0
+
+
+def reg2bins(beg: int, end: int) -> List[int]:
+    """All bins overlapping [beg, end) (SAM spec section 5.3)."""
+    end -= 1
+    bins = [0]
+    for shift, off in ((26, 1), (23, 9), (20, 73), (17, 585), (14, 4681)):
+        bins.extend(range(off + (beg >> shift), off + (end >> shift) + 1))
+    return bins
+
+
+class _BgzfStream:
+    """Random-access BGZF block reader: per-thread file handles (region
+    fetches run under the host compile thread pool) + a shared LRU cache
+    of decompressed blocks."""
+
+    def __init__(self, path: str, cache_blocks: int = 256):
+        import collections
+        import threading
+        self.path = path
+        self._local = threading.local()
+        self._lock = threading.Lock()
+        self._cache: "collections.OrderedDict" = collections.OrderedDict()
+        self._cache_blocks = cache_blocks
+
+    def _file(self):
+        f = getattr(self._local, "f", None)
+        if f is None:
+            f = open(self.path, "rb")
+            self._local.f = f
+        return f
+
+    def block_at(self, coffset: int) -> Tuple[bytes, int]:
+        """(decompressed block, next block's coffset); at hard EOF the
+        returned next-offset equals `coffset`."""
+        with self._lock:
+            hit = self._cache.get(coffset)
+            if hit is not None:
+                self._cache.move_to_end(coffset)
+                return hit
+        f = self._file()
+        f.seek(coffset)
+        hdr = f.read(12)
+        if len(hdr) < 12:
+            return b"", coffset
+        if hdr[:2] != b"\x1f\x8b":
+            raise ValueError("%s: not BGZF at offset %d"
+                             % (self.path, coffset))
+        xlen = struct.unpack_from("<H", hdr, 10)[0]
+        extra = f.read(xlen)
+        bsize = None
+        epos = 0
+        while epos + 4 <= len(extra):
+            si1, si2, slen = struct.unpack_from("<BBH", extra, epos)
+            if si1 == 66 and si2 == 67:
+                bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+            epos += 4 + slen
+        if bsize is None:
+            raise ValueError("%s: missing BGZF BC field" % self.path)
+        cdata = f.read(bsize - 12 - xlen - 8)
+        data = zlib.decompress(cdata, wbits=-15)
+        out = (data, coffset + bsize)
+        with self._lock:
+            self._cache[coffset] = out
+            while len(self._cache) > self._cache_blocks:
+                self._cache.popitem(last=False)
+        return out
+
+
+class _BgzfCursor:
+    """Sequential byte reader over BGZF blocks, tracking the virtual
+    offset of the next unconsumed byte (`vpos`)."""
+
+    def __init__(self, stream: _BgzfStream, voffset: int = 0):
+        import collections
+        self._s = stream
+        self._next_c = voffset >> 16
+        self._skip = voffset & 0xFFFF
+        self._segs: "collections.deque" = collections.deque()
+        self._avail = 0
+
+    def _fill(self) -> bool:
+        data, nxt = self._s.block_at(self._next_c)
+        if nxt == self._next_c:
+            return False
+        if data:
+            off = min(self._skip, len(data))
+            self._skip = 0
+            if off < len(data):
+                self._segs.append([self._next_c, data, off])
+                self._avail += len(data) - off
+        self._next_c = nxt
+        return True
+
+    @property
+    def vpos(self) -> int:
+        while not self._segs:
+            if not self._fill():
+                return self._next_c << 16
+        c, d, o = self._segs[0]
+        return (c << 16) | o
+
+    def take(self, n: int) -> Optional[bytes]:
+        while self._avail < n:
+            if not self._fill():
+                return None
+        parts = []
+        need = n
+        while need:
+            c, d, o = self._segs[0]
+            m = min(need, len(d) - o)
+            parts.append(d[o:o + m])
+            need -= m
+            self._avail -= m
+            if o + m == len(d):
+                self._segs.popleft()
+            else:
+                self._segs[0][2] = o + m
+        return b"".join(parts)
+
+
+class BaiIndex:
+    """Standard .bai: per reference a bin -> [(vbeg, vend)] chunk map and
+    a 16kb-window linear index of minimum virtual offsets."""
+
+    def __init__(self, bins: List[Dict[int, List[Tuple[int, int]]]],
+                 linear: List[List[int]]):
+        self.bins = bins
+        self.linear = linear
+
+    @classmethod
+    def read(cls, path: str) -> "BaiIndex":
+        with open(path, "rb") as f:
+            raw = f.read()
+        if raw[:4] != _BAI_MAGIC:
+            raise ValueError("%s: not a BAI index" % path)
+        n_ref = struct.unpack_from("<i", raw, 4)[0]
+        off = 8
+        bins, linear = [], []
+        for _ in range(n_ref):
+            n_bin = struct.unpack_from("<i", raw, off)[0]
+            off += 4
+            bmap: Dict[int, List[Tuple[int, int]]] = {}
+            for _ in range(n_bin):
+                b, n_chunk = struct.unpack_from("<Ii", raw, off)
+                off += 8
+                chunks = []
+                for _ in range(n_chunk):
+                    cb, ce = struct.unpack_from("<QQ", raw, off)
+                    off += 16
+                    chunks.append((cb, ce))
+                if b != _PSEUDO_BIN:
+                    bmap[b] = chunks
+            n_intv = struct.unpack_from("<i", raw, off)[0]
+            off += 4
+            lin = list(struct.unpack_from("<%dQ" % n_intv, raw, off))
+            off += 8 * n_intv
+            bins.append(bmap)
+            linear.append(lin)
+        return cls(bins, linear)
+
+    def write(self, path: str) -> None:
+        out = [_BAI_MAGIC, struct.pack("<i", len(self.bins))]
+        for bmap, lin in zip(self.bins, self.linear):
+            out.append(struct.pack("<i", len(bmap)))
+            for b in sorted(bmap):
+                chunks = bmap[b]
+                out.append(struct.pack("<Ii", b, len(chunks)))
+                for cb, ce in chunks:
+                    out.append(struct.pack("<QQ", cb, ce))
+            out.append(struct.pack("<i", len(lin)))
+            out.append(struct.pack("<%dQ" % len(lin), *lin))
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
+            f.write(b"".join(out))
+        os.replace(tmp, path)
+
+    def min_offset(self, ref_id: int, start: int) -> int:
+        lin = self.linear[ref_id] if ref_id < len(self.linear) else []
+        w = start >> _LINEAR_SHIFT
+        if not lin:
+            return 0
+        return lin[min(w, len(lin) - 1)]
+
+    def start_voffset(self, ref_id: int, start: int, end: int
+                      ) -> Optional[int]:
+        """Smallest virtual offset any overlapping record can start at,
+        or None if the index proves the region is empty."""
+        if ref_id >= len(self.bins):
+            return None
+        bmap = self.bins[ref_id]
+        min_off = self.min_offset(ref_id, start)
+        best = None
+        for b in reg2bins(start, end):
+            for cb, ce in bmap.get(b, ()):
+                if ce <= min_off:
+                    continue
+                cb = max(cb, min_off)
+                if best is None or cb < best:
+                    best = cb
+        return best
+
+
+def _decode_bam_record(rec: bytes, refs: Sequence[str]) -> AlignedRead:
+    (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag,
+     l_seq, _next_ref, _next_pos, _tlen) = struct.unpack_from(
+         "<iiBBHHHiiii", rec, 0)
+    p = 32
+    qname = rec[p:p + l_read_name - 1].decode()
+    p += l_read_name
+    cigar_ops = struct.unpack_from("<%dI" % n_cigar_op, rec, p)
+    cigar = "".join(
+        "%d%s" % (op >> 4, _BAM_CIGAR_OPS[op & 0xF])
+        for op in cigar_ops) or "*"
+    rname = refs[ref_id] if 0 <= ref_id < len(refs) else "*"
+    return AlignedRead(qname=qname, flag=flag, rname=rname, pos=pos,
+                       mapq=mapq, cigar_str=cigar, rlen=l_seq)
+
+
+def _bam_record_ref_span(rec: bytes) -> Tuple[int, int, int]:
+    """(ref_id, pos, ref_end) decoded from the fixed fields + CIGAR only."""
+    ref_id, pos, l_read_name = struct.unpack_from("<iiB", rec, 0)
+    n_cigar_op = struct.unpack_from("<H", rec, 12)[0]
+    p = 32 + l_read_name
+    span = 0
+    for op in struct.unpack_from("<%dI" % n_cigar_op, rec, p):
+        if (op & 0xF) in (0, 2, 3, 7, 8):  # M D N = X consume reference
+            span += op >> 4
+    return ref_id, pos, pos + max(span, 1)
+
+
+class IndexedBamReader:
+    """Streaming BAM reader: O(region) fetches via a .bai index; only the
+    BGZF blocks a region covers are decompressed, so files need not fit
+    in RAM.  Builds and persists a samtools-compatible .bai in one
+    streaming pass when none exists."""
+
+    def __init__(self, path: str, index_path: Optional[str] = None,
+                 build_missing_index: bool = True):
+        self.path = path
+        self._bgzf = _BgzfStream(path)
+        cur = _BgzfCursor(self._bgzf, 0)
+        magic = cur.take(4)
+        if magic != b"BAM\x01":
+            raise ValueError("%s: not a BAM file" % path)
+        l_text = struct.unpack("<i", cur.take(4))[0]
+        self.header_text = cur.take(l_text).decode(errors="replace")
+        n_ref = struct.unpack("<i", cur.take(4))[0]
+        self.references: List[str] = []
+        self.lengths: List[int] = []
+        for _ in range(n_ref):
+            l_name = struct.unpack("<i", cur.take(4))[0]
+            self.references.append(cur.take(l_name)[:-1].decode())
+            self.lengths.append(struct.unpack("<i", cur.take(4))[0])
+        self._ref_ids = {n: i for i, n in enumerate(self.references)}
+        self._aln_voffset = cur.vpos
+        self._index: Optional[BaiIndex] = None
+        self._index_path = index_path
+        if index_path is None:
+            bam_mtime = os.path.getmtime(path)
+            for cand in (path + ".bai", os.path.splitext(path)[0] + ".bai"):
+                # a .bai older than the BAM is stale: rebuild
+                if os.path.isfile(cand) and \
+                        os.path.getmtime(cand) >= bam_mtime:
+                    self._index_path = cand
+                    break
+        if self._index_path is not None and os.path.isfile(self._index_path):
+            self._index = BaiIndex.read(self._index_path)
+        elif build_missing_index:
+            self._index = self._build_index()
+            try:
+                self._index.write(path + ".bai")
+            except OSError:
+                pass  # read-only location: keep the in-memory index
+
+    def _records_from(self, voffset: int) -> Iterator[bytes]:
+        cur = _BgzfCursor(self._bgzf, voffset)
+        while True:
+            szb = cur.take(4)
+            if szb is None:
+                return
+            rec = cur.take(struct.unpack("<i", szb)[0])
+            if rec is None:
+                return
+            yield rec
+
+    def __iter__(self) -> Iterator[AlignedRead]:
+        refs = self.references
+        for rec in self._records_from(self._aln_voffset):
+            yield _decode_bam_record(rec, refs)
+
+    def _build_index(self) -> BaiIndex:
+        """One streaming pass: record (start, end) virtual offsets per
+        record into bins + the linear index (the role of `samtools
+        index`)."""
+        n_ref = len(self.references)
+        bins: List[Dict[int, List[Tuple[int, int]]]] = [
+            {} for _ in range(n_ref)]
+        linear: List[List[int]] = [[] for _ in range(n_ref)]
+        cur = _BgzfCursor(self._bgzf, self._aln_voffset)
+        while True:
+            v0 = cur.vpos
+            szb = cur.take(4)
+            if szb is None:
+                break
+            rec = cur.take(struct.unpack("<i", szb)[0])
+            if rec is None:
+                break
+            v1 = cur.vpos
+            ref_id, pos, ref_end = _bam_record_ref_span(rec)
+            if ref_id < 0 or ref_id >= n_ref:
+                continue
+            b = reg2bin(pos, ref_end)
+            chunks = bins[ref_id].setdefault(b, [])
+            if chunks and chunks[-1][1] >= v0:
+                chunks[-1] = (chunks[-1][0], v1)  # merge adjacent
+            else:
+                chunks.append((v0, v1))
+            lin = linear[ref_id]
+            w_hi = (ref_end - 1) >> _LINEAR_SHIFT
+            if len(lin) <= w_hi:
+                lin.extend([0] * (w_hi + 1 - len(lin)))
+            for w in range(pos >> _LINEAR_SHIFT, w_hi + 1):
+                if lin[w] == 0 or v0 < lin[w]:
+                    lin[w] = v0
+        for lin in linear:  # fill empty windows with the previous offset
+            prev = 0
+            for i, v in enumerate(lin):
+                if v == 0:
+                    lin[i] = prev
+                else:
+                    prev = v
+        return BaiIndex(bins, linear)
+
+    def fetch(self, chrom: str, start: int, end: int
+              ) -> Iterator[AlignedRead]:
+        """Region fetch (0-based half-open): stream records from the
+        index's start offset, stop at the first record past `end`
+        (coordinate-sorted input, as the reference requires)."""
+        if end <= start:
+            return
+        tid = self._ref_ids.get(chrom)
+        if tid is None:
+            raise KeyError(chrom)
+        assert self._index is not None
+        v0 = self._index.start_voffset(tid, start, end)
+        if v0 is None:
+            return
+        refs = self.references
+        for rec in self._records_from(v0):
+            ref_id, pos, ref_end = _bam_record_ref_span(rec)
+            if ref_id != tid:
+                if ref_id > tid or ref_id < 0:
+                    return
+                continue
+            if pos >= end:
+                return
+            if ref_end > start:
+                yield _decode_bam_record(rec, refs)
+
+
 # ---------------------------------------------------------------------- BAM
 
 class _RegionIndex:
@@ -313,9 +706,13 @@ def _cigar_ref_len(cigar: str) -> int:
 
 def open_alignments(path: str):
     """Open SAM (.sam/.sam.gz) or BAM transparently; returns an object with
-    .references and .fetch(chrom, start, end)."""
+    .references and .fetch(chrom, start, end).
+
+    BAMs open through the streaming IndexedBamReader (O(region) fetches,
+    never loads the file); an existing .bai is used, otherwise one is
+    built in a single pass and persisted."""
     if path.endswith(".bam"):
-        return BamReader(path)
+        return IndexedBamReader(path)
     return SamFile(path)
 
 
@@ -386,8 +783,9 @@ def write_bam(path: str, references: Sequence[str],
         name_b = r.qname.encode() + b"\x00"
         cig_b = _encode_cigar(r.cigar_str)
         ref_id = ref_index.get(r.rname, -1)
+        rbin = reg2bin(r.pos, r.pos + max(_cigar_ref_len(r.cigar_str), 1))
         rec = struct.pack(
-            "<iiBBHHHiiii", ref_id, r.pos, len(name_b), r.mapq, 0,
+            "<iiBBHHHiiii", ref_id, r.pos, len(name_b), r.mapq, rbin,
             len(cig_b) // 4, r.flag, 0, -1, -1, 0) + name_b + cig_b
         body.append(struct.pack("<i", len(rec)) + rec)
     with open(path, "wb") as f:
@@ -423,6 +821,9 @@ def sam_to_bam(sam_filename: str, bam_filename: str) -> str:
     reads.sort(key=lambda r: (ref_order.get(r.rname, len(refs)), r.pos))
     write_bam(bam_filename, refs, lens, reads,
               header_text="".join(header_lines))
+    # index alongside, as the reference's `samtools index` step does
+    # (misopy/sam_to_bam.py:32-39)
+    IndexedBamReader(bam_filename, build_missing_index=True)
     return bam_filename
 
 

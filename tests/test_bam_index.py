@@ -1,0 +1,140 @@
+"""Indexed streaming BAM: .bai build/read/write + O(region) fetches.
+
+The reference gets O(region) BAM access from pysam's .bai
+(misopy/sam_utils.py:154-181); these tests pin the from-scratch
+equivalent: fetch results identical to the in-memory reader, index
+round-trips through the standard BAI encoding, and a region fetch
+touches only the BGZF blocks the region covers.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from miso_tpu.io.sam import (BaiIndex, BamReader, IndexedBamReader,
+                             reg2bin, reg2bins)
+
+
+@pytest.fixture(scope="module")
+def big_bam(tmp_path_factory):
+    """A multi-chromosome, multi-block BAM (~50k reads)."""
+    from miso_tpu.testing import make_se_catalog, simulate_catalog_bam
+
+    d = tmp_path_factory.mktemp("bigbam")
+    rng = np.random.default_rng(11)
+    genes, _, true_psi = make_se_catalog(200, rng, chroms=3)
+    path = str(d / "big.bam")
+    simulate_catalog_bam(genes, true_psi, 250, 36, path, rng)
+    return path
+
+
+def _key(r):
+    return (r.qname, r.flag, r.rname, r.pos, r.cigar_str)
+
+
+def test_reg2bin_spec_anchors():
+    # SAM spec: bin 4681 is the first 16kb leaf bin
+    assert reg2bin(0, 1) == 4681
+    assert reg2bin(1 << 14, (1 << 14) + 1) == 4682
+    assert 4681 in reg2bins(0, 100)
+    assert 0 in reg2bins(0, 1 << 29)
+
+
+def test_indexed_fetch_matches_inmemory(big_bam):
+    mem = BamReader(big_bam)
+    idx = IndexedBamReader(big_bam)
+    assert os.path.isfile(big_bam + ".bai")
+    assert idx.references == mem.references
+    rng = np.random.default_rng(5)
+    for _ in range(25):
+        chrom = mem.references[rng.integers(len(mem.references))]
+        lo = int(rng.integers(0, 60000))
+        hi = lo + int(rng.integers(1, 5000))
+        want = sorted(map(_key, mem.fetch(chrom, lo, hi)))
+        got = sorted(map(_key, idx.fetch(chrom, lo, hi)))
+        assert got == want, (chrom, lo, hi)
+
+
+def test_full_iteration_matches(big_bam):
+    mem = list(BamReader(big_bam))
+    idx = list(IndexedBamReader(big_bam))
+    assert list(map(_key, idx)) == list(map(_key, mem))
+
+
+def test_bai_roundtrip(big_bam, tmp_path):
+    reader = IndexedBamReader(big_bam)
+    p = str(tmp_path / "copy.bai")
+    reader._index.write(p)
+    loaded = BaiIndex.read(p)
+    assert len(loaded.bins) == len(reader._index.bins)
+    for a, b in zip(loaded.bins, reader._index.bins):
+        assert a == b
+    for a, b in zip(loaded.linear, reader._index.linear):
+        assert a == b
+
+
+def test_region_fetch_is_partial(big_bam):
+    """A small region must not decompress the whole file."""
+    reader = IndexedBamReader(big_bam)
+    with open(big_bam, "rb") as f:
+        f.seek(0, 2)
+        fsize = f.tell()
+    stream = reader._bgzf
+    touched = set()
+    orig = stream.block_at
+
+    def counting(coffset):
+        touched.add(coffset)
+        return orig(coffset)
+
+    stream.block_at = counting
+    stream._cache.clear()
+    chrom = reader.references[0]
+    n = len(list(reader.fetch(chrom, 2000, 3000)))
+    stream.block_at = orig
+    assert n > 0
+    # every block is ~<=64KB compressed; a 1kb region should touch few
+    total_blocks = max(fsize // 16384, 1)
+    assert len(touched) < max(4, total_blocks // 4), (
+        len(touched), total_blocks)
+
+
+def test_stale_bai_is_rebuilt(tmp_path):
+    from miso_tpu.testing import make_se_catalog, simulate_catalog_bam
+
+    rng = np.random.default_rng(3)
+    genes, _, psi = make_se_catalog(5, rng)
+    path = str(tmp_path / "x.bam")
+    simulate_catalog_bam(genes, psi, 50, 36, path, rng)
+    IndexedBamReader(path)
+    # rewrite the BAM with different contents; the old .bai is stale
+    genes2, _, psi2 = make_se_catalog(9, rng)
+    os.utime(path + ".bai", (1, 1))
+    simulate_catalog_bam(genes2, psi2, 80, 36, path, rng)
+    reader = IndexedBamReader(path)
+    mem = BamReader(path)
+    chrom = mem.references[0]
+    lo, hi = 0, 10 ** 6
+    assert sorted(map(_key, reader.fetch(chrom, lo, hi))) == \
+        sorted(map(_key, mem.fetch(chrom, lo, hi)))
+
+
+def test_atp2b1_fixture_fetch():
+    """Real-data anchor: the reference's Atp2b1 reads through both
+    readers."""
+    ref_sam = "/root/reference/misopy/test-data/sam-data/c2c12.Atp2b1.sam"
+    if not os.path.isfile(ref_sam):
+        pytest.skip("reference fixtures not mounted")
+    import tempfile
+
+    from miso_tpu.io.sam import sam_to_bam
+
+    with tempfile.TemporaryDirectory() as d:
+        bam = os.path.join(d, "a.bam")
+        sam_to_bam(ref_sam, bam)
+        assert os.path.isfile(bam + ".bai")
+        mem = BamReader(bam)
+        idx = IndexedBamReader(bam)
+        want = sorted(map(_key, mem.fetch("10", 98377804, 98486420)))
+        got = sorted(map(_key, idx.fetch("10", 98377804, 98486420)))
+        assert want and got == want
