@@ -256,6 +256,22 @@ def _round_up(x: int, candidates=(2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> 
     return int(2 ** np.ceil(np.log2(max(x, 1))))
 
 
+def _round_up_reads(x: int) -> int:
+    """Pad granularity for the per-read axis: every MCMC iteration pays
+    O(R) device work, so padding waste is throughput loss (power-of-2
+    rounding wastes up to 2x).  Multiples of 32 keep (R, B) tiles
+    sublane-aligned for f32 AND bf16 while bounding the number of
+    distinct compile shapes (<= 16 buckets below 512, <= 12 more below
+    2048, then powers of two)."""
+    if x <= 32:
+        return 32
+    if x <= 512:
+        return int(-(-x // 32) * 32)
+    if x <= 2048:
+        return int(-(-x // 128) * 128)
+    return int(2 ** np.ceil(np.log2(x)))
+
+
 def pad_events(
     events: List[CompiledEvent],
     pad_iso: Optional[int] = None,
@@ -284,7 +300,7 @@ def pad_events(
         read_dtype = jnp.bfloat16
     I = pad_iso or _round_up(max(ev.num_iso for ev in events))
     C = pad_classes or _round_up(max(max(ev.num_classes, 1) for ev in events))
-    R = pad_reads or _round_up(
+    R = pad_reads or _round_up_reads(
         max(max(int(ev.counts.sum()), 1) for ev in events))
     weights = np.zeros((E, C, I), dtype)
     log_read = np.zeros((E, C, I), dtype)
@@ -321,6 +337,6 @@ def bucket_events(
     buckets: dict = {}
     for idx, ev in enumerate(events):
         key = (_round_up(ev.num_iso), _round_up(max(ev.num_classes, 1)),
-               _round_up(max(int(ev.counts.sum()), 1)))
+               _round_up_reads(max(int(ev.counts.sum()), 1)))
         buckets.setdefault(key, []).append(idx)
     return sorted(buckets.items())

@@ -68,6 +68,21 @@ def _normal(shape):
     return jnp.sqrt(-2.0 * jnp.log(u1)) * jnp.cos(TWO_PI * u2)
 
 
+def _normal_rows(I, B):
+    """(I, B) standard normals using BOTH Box-Muller outputs: the
+    cos/sin pair shares one radius, halving the PRNG + log + sqrt work
+    versus generating I rows of cos-only draws."""
+    if I == 1:
+        return _normal((1, B))
+    H = (I + 1) // 2
+    u1 = jnp.maximum(_u01((H, B)), 2.0 ** -24)
+    u2 = _u01((H, B))
+    r = jnp.sqrt(-2.0 * jnp.log(u1))
+    ang = TWO_PI * u2
+    z = jnp.concatenate([r * jnp.cos(ang), r * jnp.sin(ang)], axis=0)
+    return z if 2 * H == I else z[:I]
+
+
 def _safe_log(x):
     return jnp.log(jnp.maximum(x, 1e-38))
 
@@ -83,7 +98,7 @@ def _sampler_kernel(
     amask_ref,         # (I, B)
     iso_mask_ref,      # (I, B)
     last_onehot_ref,   # (I, B)
-    scal_ref,          # (4, B): noise_scale, inv_sigma, prop_const, dir_const
+    scal_ref,          # (2, B): noise_scale, dir_const
     # outputs
     psi_out_ref,       # (1, I, RPAD, B)
     loglik_out_ref,    # (1, RPAD, B)
@@ -104,40 +119,42 @@ def _sampler_kernel(
     log_iso_w = jnp.maximum(log_iso_w_ref[:], NEG_BIG)
     hyper = hyper_ref[:]
     noise_scale = scal_ref[0:1]
-    inv_sigma = scal_ref[1:2]
-    prop_const = scal_ref[2:3]
-    dir_const = scal_ref[3:4]
+    dir_const = scal_ref[1:2]
     km1 = jnp.sum(amask, axis=0, keepdims=True)
+    kk = km1 + 1.0
 
-    def logistic_inv(alpha):
+    # ---- static per-block score pieces.  ALL score math runs in alpha
+    # space: with e = exp(alpha) (head isoforms) and denom = 1 + sum(e),
+    #   psi_i     = e_i / denom        (last isoform: 1 / denom)
+    #   log psi_i = alpha_aug_i - log(denom)   [alpha_aug: alpha, last = 0]
+    # so the only transcendentals per iteration are ONE (I, B) exp and two
+    # (1, B) logs -- the psi-space form (miso.c:97-307) needs ~10 (I, B)
+    # log/exp passes for identical values.
+    eiw = jnp.exp(log_iso_w) * iso_mask                # effective lengths
+    a_liw = jnp.where(iso_mask > 0, log_iso_w, 0.0)
+    h1 = jnp.where(iso_mask > 0, hyper - 1.0, 0.0)
+    H1 = jnp.sum(h1, axis=0, keepdims=True)
+
+    def stats(alpha):
+        """alpha (I, B) -> (psi, log denom, log S) with
+        S = sum_i psi_i * efflen_i * denom (the assignment-score
+        normalizer sum(exp(log psi + log_iso_w)) times denom)."""
         e = jnp.exp(alpha) * amask
         denom = 1.0 + jnp.sum(e, axis=0, keepdims=True)
-        head = e / denom
-        return head + last_onehot * (1.0 - jnp.sum(head, axis=0,
-                                                   keepdims=True))
+        ld = _safe_log(denom)
+        e_aug = e + last_onehot
+        psi = e_aug / denom
+        logS = _safe_log(jnp.sum(e_aug * eiw, axis=0, keepdims=True))
+        return psi, ld, logS
 
-    def joint_score(psi, n, read_prob):
-        lp = jnp.where(iso_mask > 0, _safe_log(psi) + log_iso_w, NEG_BIG)
-        mx = jnp.max(lp, axis=0, keepdims=True)
-        lse = _safe_log(jnp.sum(jnp.exp(lp - mx), axis=0,
-                                keepdims=True)) + mx
-        ass = jnp.sum(jnp.where(n > 0, n * (lp - lse), 0.0), axis=0,
-                      keepdims=True)
-        dirp = jnp.sum(
-            jnp.where(iso_mask > 0, (hyper - 1.0) * _safe_log(psi), 0.0),
-            axis=0, keepdims=True) + dir_const
-        return read_prob + ass + dirp
-
-    def proposal_score(psi, mu_alpha):
-        ltheta = jnp.sum(psi * last_onehot, axis=0, keepdims=True)
-        logpsi = jnp.where(amask > 0, _safe_log(psi), 0.0)
-        tmp = jnp.where(amask > 0,
-                        logpsi - _safe_log(ltheta) - mu_alpha, 0.0)
-        exp_part = -0.5 * jnp.sum(tmp * tmp, axis=0,
-                                  keepdims=True) * inv_sigma
-        return (prop_const
-                - jnp.sum(logpsi, axis=0, keepdims=True)
-                - _safe_log(ltheta) + exp_part)
+    def joint_abs(alpha, ld, logS, n, rp, n_valid):
+        """Absolute joint score splicing_score_joint (miso.c:243-307) of
+        the current state, for RECORDED log-likelihoods only.
+        lp_i - lse = alpha_aug_i + log_iso_w_i - logS (the log-denom
+        cancels); sum_i n_i = n_valid."""
+        a_aug = alpha * amask
+        t = jnp.sum((n + h1) * a_aug + n * a_liw, axis=0, keepdims=True)
+        return rp + t - n_valid * logS - H1 * ld + dir_const
 
     # Read validity is STATIC per (read, lane): psi of real isoforms is
     # strictly positive, so total weight > 0 iff any compatible isoform
@@ -148,21 +165,24 @@ def _sampler_kernel(
         valid_sum = valid_sum + read_w[i]
     valid_f = jnp.where(valid_sum > 0, 1.0, 0.0)          # (R, B)
     n_valid = jnp.sum(valid_f, axis=0, keepdims=True)     # (1, B)
+    n_pad = float(R) - n_valid                            # (1, B) static
 
     def gibbs(psi, compute_rp=True):
         """(I, B) psi -> (n (I, B), read_prob (1, B)).
 
         read_prob cancels in the MH ratio (it depends only on the
         assignment, not psi) and is consumed only by the RECORDED
-        log-likelihood -- compute_rp=False reduces only the counts."""
+        log-likelihood -- compute_rp=False reduces only the counts.
+        Padded reads (total weight 0) have u == 0 == every cumsum, so
+        they land in bin 0 / -1 in the last bin: undone by the STATIC
+        pad count instead of an (R, B) pass."""
         cums = []
         acc = None
         for i in range(I):
             rw_i = read_w[i] * psi[i:i + 1]
             acc = rw_i if acc is None else acc + rw_i
             cums.append(acc)
-        # u in (0, total]; padded reads (total == 0) get u = 1 > cumsums
-        u = jnp.maximum(_u01((R, B)), 2.0 ** -24) * acc + (1.0 - valid_f)
+        u = jnp.maximum(_u01((R, B)), 2.0 ** -24) * acc
         n_rows = []
         read_prob = jnp.zeros((1, B), jnp.float32)
         if compute_rp:
@@ -180,9 +200,12 @@ def _sampler_kernel(
             for i in range(I):
                 cnt = (jnp.sum(jnp.where(cums[i] >= u, 1.0, 0.0),
                                axis=0, keepdims=True) if i < I - 1
-                       else n_valid)
+                       else n_valid + n_pad)
                 n_rows.append(cnt if prev_cnt is None else cnt - prev_cnt)
                 prev_cnt = cnt
+        n_rows[0] = n_rows[0] - n_pad
+        if len(n_rows) > 1:
+            n_rows[-1] = n_rows[-1] + n_pad
         return jnp.concatenate(n_rows, axis=0), read_prob
 
     # ---- init (miso.c:348-371 AUTO start + :834 propose + :840 gibbs)
@@ -190,38 +213,49 @@ def _sampler_kernel(
         amask > 0,
         jnp.where(km1 == 1.0, 0.0, 1.0 / jnp.maximum(km1, 1.0)),
         0.0)
-    alpha = alpha0 + noise_scale * _normal((I, B)) * amask
-    psi = logistic_inv(alpha)
+    alpha = alpha0 + noise_scale * _normal_rows(I, B) * amask
+    psi, ld, logS = stats(alpha)
     n, rp = gibbs(psi)
     acc_count = jnp.zeros((1, B), jnp.float32)
 
-    def step(m, alpha, psi, n, rp, acc_count, compute_rp=True):
-        """One MH+Gibbs iteration; returns new state + post-accept score."""
-        full = (m > 0).astype(jnp.float32)
-        alpha_new = alpha + noise_scale * _normal((I, B)) * amask
-        psi_new = logistic_inv(alpha_new)
+    def step(m, alpha, psi, ld, logS, n, rp, acc_count,
+             compute_rp=True, want_score=False):
+        """One MH+Gibbs iteration (the hot loop miso.c:845-900).
 
-        cjs = joint_score(psi, n, rp)
-        pjs = joint_score(psi_new, n, rp)
-        pto_c = proposal_score(psi, alpha_new)
-        cto_p = proposal_score(psi_new, alpha)
-        logr = (pjs - cjs) + full * (pto_c - cto_p)
+        The MH log-ratio is assembled in alpha space: the proposal
+        quadratic (miso.c:97-122) is symmetric in (alpha, alpha_new) and
+        cancels, the read-score term is assignment-only and cancels, and
+        the remaining pieces are linear in d = alpha_new - alpha."""
+        full = (m > 0).astype(jnp.float32)
+        d = noise_scale * _normal_rows(I, B) * amask
+        alpha_new = alpha + d
+        psi_new, ld_new, logS_new = stats(alpha_new)
+
+        logr = (jnp.sum((n + h1) * d, axis=0, keepdims=True)
+                - n_valid * (logS_new - logS)
+                - H1 * (ld_new - ld)
+                + full * (jnp.sum(d, axis=0, keepdims=True)
+                          + kk * (ld - ld_new)))
 
         u = jnp.maximum(_u01((1, B)), 2.0 ** -24)
         accept = jnp.where(
             jnp.logical_or(logr >= 0, jnp.log(u) < logr), 1.0, 0.0)
-        psi = accept * psi_new + (1.0 - accept) * psi
-        alpha = accept * alpha_new + (1.0 - accept) * alpha
-        cjs_after = accept * pjs + (1.0 - accept) * cjs
+        na = 1.0 - accept
+        psi = accept * psi_new + na * psi
+        alpha = accept * alpha_new + na * alpha
+        ld = accept * ld_new + na * ld
+        logS = accept * logS_new + na * logS
         acc_count = acc_count + accept
+        score = (joint_abs(alpha, ld, logS, n, rp, n_valid)
+                 if want_score else None)
         n, rp = gibbs(psi, compute_rp=compute_rp)
-        return alpha, psi, n, rp, acc_count, cjs_after
+        return alpha, psi, ld, logS, n, rp, acc_count, score
 
     def plain_body(m, carry):
-        alpha, psi, n, rp, acc_count = carry
-        alpha, psi, n, rp, acc_count, _ = step(m, alpha, psi, n, rp,
-                                               acc_count, compute_rp=False)
-        return alpha, psi, n, rp, acc_count
+        alpha, psi, ld, logS, n, rp, acc_count = carry
+        alpha, psi, ld, logS, n, rp, acc_count, _ = step(
+            m, alpha, psi, ld, logS, n, rp, acc_count, compute_rp=False)
+        return alpha, psi, ld, logS, n, rp, acc_count
 
     # Static record schedule (matches mcmc.py): burn_in steps, then a
     # record after every `lag` steps; phase aligns blocks.  Only the step
@@ -233,7 +267,7 @@ def _sampler_kernel(
     RREC = cfg.num_records
     tail_start = phase + nblocks * cfg.lag
 
-    state = (alpha, psi, n, rp, acc_count)
+    state = (alpha, psi, ld, logS, n, rp, acc_count)
     pre = phase + rec_offset * cfg.lag
     if pre > 0:
         state = jax.lax.fori_loop(0, pre, plain_body, state)
@@ -246,39 +280,33 @@ def _sampler_kernel(
         stage_ll = jnp.zeros((128, B), jnp.float32)
 
         def chunk_body(blk, carry, chunk=chunk):
-            alpha, psi, n, rp, acc_count, stage_psi, stage_ll = carry
+            st, stage_psi, stage_ll = carry[:7], carry[7], carry[8]
             m0 = pre + (chunk * 128 + blk) * cfg.lag
 
-            def inner(j, st):
-                a, p, nn, r, ac = st
-                a, p, nn, r, ac, _ = step(m0 + j, a, p, nn, r, ac,
-                                          compute_rp=(cfg.lag == 1))
-                return a, p, nn, r, ac
+            def inner(j, s):
+                return step(m0 + j, *s, compute_rp=(cfg.lag == 1))[:7]
 
             # lag-2 cheap steps, one rp step feeding the recorded score,
             # then the record step itself
             if cfg.lag >= 2:
-                alpha, psi, n, rp, acc_count = jax.lax.fori_loop(
-                    0, cfg.lag - 2, inner, (alpha, psi, n, rp, acc_count))
-                alpha, psi, n, rp, acc_count, _ = step(
-                    m0 + cfg.lag - 2, alpha, psi, n, rp, acc_count,
-                    compute_rp=True)
-            alpha, psi, n, rp, acc_count, cjs_after = step(
-                m0 + cfg.lag - 1, alpha, psi, n, rp, acc_count,
-                compute_rp=(cfg.lag == 1))
+                st = jax.lax.fori_loop(0, cfg.lag - 2, inner, st)
+                st = step(m0 + cfg.lag - 2, *st, compute_rp=True)[:7]
+            out = step(m0 + cfg.lag - 1, *st,
+                       compute_rp=(cfg.lag == 1), want_score=True)
+            st, cjs_after = out[:7], out[7]
 
             mask = sub == blk
             if _DEBUG_NO_RECORD:
                 mask = sub < 0
-            stage_psi = [jnp.where(mask, psi[i:i + 1], stage_psi[i])
+            psi_cur = st[1]
+            stage_psi = [jnp.where(mask, psi_cur[i:i + 1], stage_psi[i])
                          for i in range(I)]
             stage_ll = jnp.where(mask, cjs_after, stage_ll)
-            return alpha, psi, n, rp, acc_count, stage_psi, stage_ll
+            return st + (stage_psi, stage_ll)
 
-        alpha, psi, n, rp, acc_count, stage_psi, stage_ll = (
-            jax.lax.fori_loop(0, n_in_chunk, chunk_body,
-                              state + (stage_psi, stage_ll)))
-        state = (alpha, psi, n, rp, acc_count)
+        carry = jax.lax.fori_loop(0, n_in_chunk, chunk_body,
+                                  state + (stage_psi, stage_ll))
+        state, stage_psi, stage_ll = carry[:7], carry[7], carry[8]
         lo, hi = chunk * 128, (chunk + 1) * 128
         for i in range(I):
             psi_out_ref[0, i, lo:hi, :] = stage_psi[i]
@@ -287,7 +315,7 @@ def _sampler_kernel(
     if tail_start < cfg.iters:
         state = jax.lax.fori_loop(tail_start, cfg.iters, plain_body, state)
 
-    alpha, psi, n, rp, acc_count = state
+    alpha, psi, ld, logS, n, rp, acc_count = state
     acc_out_ref[0] = acc_count
     finaln_out_ref[0] = n
     finalpsi_out_ref[0] = psi
@@ -297,7 +325,8 @@ def _block_events(E: int, R: int, K: int, I: int, RPAD: int) -> int:
     """Events per grid block: read tiles + Gibbs temporaries + record
     blocks + staging must stay well under VMEM.  Prefer BE with
     B = K*BE a multiple of 128 (dense lane tiles)."""
-    budget = 24 * 1024 * 1024
+    budget = int(_os.environ.get("MISO_PALLAS_VMEM_BUDGET",
+                                 24 * 1024 * 1024))
     per_event = K * 4 * (
         I * R * 6                 # read tiles (x2) + Gibbs temporaries
         + (I + 1) * (RPAD + 256)  # record blocks + staging
@@ -335,12 +364,10 @@ def run_batch_pallas(key, events: EventBatch,
     kf = num_iso.astype(f32)
     sigma = 0.2 / (kf * kf)
     noise_scale = jnp.where(num_iso == 2, sigma, jnp.sqrt(sigma))
-    inv_sigma = 1.0 / sigma
-    prop_const = -0.5 * (kf - 1.0) * jnp.log(2.0 * np.pi * sigma)
     h = jnp.where(iso_mask > 0, events.hyper.astype(f32), 1.0)
     dir_const = (gammaln(jnp.sum(jnp.where(iso_mask > 0, h, 0.0), axis=1))
                  - jnp.sum(jnp.where(iso_mask > 0, gammaln(h), 0.0), axis=1))
-    scal = jnp.stack([noise_scale, inv_sigma, prop_const, dir_const], axis=1)
+    scal = jnp.stack([noise_scale, dir_const], axis=1)
 
     def to_lanes(x):
         """(E, ...) -> (..., E*K): lane index = event*K + chain."""
@@ -377,7 +404,7 @@ def run_batch_pallas(key, events: EventBatch,
         in_specs=[
             in_bspec((I, R)), in_bspec((I, R)), in_bspec((I,)),
             in_bspec((I,)), in_bspec((I,)), in_bspec((I,)), in_bspec((I,)),
-            in_bspec((4,)),
+            in_bspec((2,)),
         ],
         out_specs=[
             out_bspec((I, RPAD)), out_bspec((RPAD,)),
