@@ -47,6 +47,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Inference scheme (reference: "
                         "SPLICING_ALGO_* in splicing.h:59-62; 'classes' "
                         "is the fast read-class scheme).")
+    p.add_argument("--convergent", action="store_true", default=False,
+                   help="Adaptive stopping: run until Gelman-Rubin "
+                        "R-hat <= 1.1, extending unconverged events by "
+                        "3*iters - 2*burn_in (pysplicing/src/"
+                        "miso.c:903-928); equivalent to settings "
+                        "[sampler] stop = convergent.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--coordinator", dest="coordinator", default=None,
                    help="Multi-host: coordinator address host:port "
@@ -131,6 +137,7 @@ def main(argv=None) -> int:
         paired_end=paired,
         mean_frag_len=args.paired_end[0] if paired else None,
         frag_variance=(args.paired_end[1] ** 2) if paired else None,
+        **({"stop": "convergent"} if args.convergent else {}),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     index_dir = os.path.abspath(os.path.expanduser(index_dir))

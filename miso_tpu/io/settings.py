@@ -63,6 +63,16 @@ class Settings:
             "num_chains": s.getint("num_chains", 6),
         }
 
+    def get_stop_rule(self) -> str:
+        """'fixed' (MISO_STOP_FIXEDNO, the reference CLI behavior,
+        miso_sampler.py:211) or 'convergent' (MISO_STOP_CONVMEAN with the
+        adaptive extension, pysplicing/src/miso.c:903-928)."""
+        return self.parser["sampler"].get("stop", "fixed")
+
+    def get_max_iters(self) -> int:
+        """Extension cap for the convergent stop rule (miso.c:908)."""
+        return self.parser["sampler"].getint("max_iters", 500000)
+
     def get_min_event_reads(self) -> int:
         """Ref: settings.py:117."""
         return self.parser["data"].getint("min_event_reads", 20)

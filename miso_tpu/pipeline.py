@@ -57,6 +57,11 @@ class RunConfig:
     # chain start: 'auto' (miso.c:348 AUTO) or 'linear' (MISO_START_LINEAR,
     # miso.c:410-443: NNLS deconvolution seeds every chain)
     start: str = "auto"
+    # stop rule: 'fixed' (MISO_STOP_FIXEDNO, the reference CLI default,
+    # miso_sampler.py:211) or 'convergent' (R-hat <= 1.1 with the
+    # 3*noIter - 2*burnIn adaptive extension, miso.c:903-928)
+    stop: str = "fixed"
+    max_iters: int = 500000
 
     @classmethod
     def from_settings(cls, settings: Settings, read_len: int, **kw):
@@ -70,6 +75,8 @@ class RunConfig:
             min_event_reads=kw.pop("min_event_reads",
                                    settings.get_min_event_reads()),
             strand_rule=kw.pop("strand_rule", settings.get_strand_param()),
+            stop=kw.pop("stop", settings.get_stop_rule()),
+            max_iters=kw.pop("max_iters", settings.get_max_iters()),
             **kw)
 
 
@@ -187,6 +194,30 @@ def run_events(
                                                   gibbs="multinomial")
             key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
                                      * 131071 + pad_classes * 8191)
+            if cfg.stop == "convergent":
+                # R-hat <= 1.1 adaptive stopping (miso.c:903-928): only
+                # unconverged events re-run, with extended schedules
+                from miso_tpu.sampler.mcmc import run_batch_convergent
+                conv_res, _ = run_batch_convergent(
+                    key, batch, sampler_cfg, max_iters=cfg.max_iters,
+                    mesh=mesh)
+                for j, i in enumerate(chunk):
+                    r = conv_res[j]
+                    k = events[i].num_iso
+                    fn = r["final_n"][0, :k]
+                    if cfg.algorithm != "reassign":
+                        fn = events[i].final_assignment_counts(
+                            r["samples"][-1, :k])
+                    out[i] = {
+                        "samples": r["samples"][:, :k],
+                        "loglik": r["loglik"],
+                        "percent_accept": 100.0 * r["accepted"]
+                            / max(r["accepted"] + r["rejected"], 1),
+                        "final_n": fn,
+                        "iters": int(r["iters"]),
+                        "burn_in": int(r["burn_in"]),
+                    }
+                continue
             start_psi = None
             if cfg.start == "linear":
                 from miso_tpu.core.assignment import linear_start_psi
@@ -268,7 +299,9 @@ def write_event_results(
         path = event_output_path(output_dir, ev.gene, ev.name)
         write_miso_file(
             path, ev, res["samples"], res["loglik"],
-            iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
+            # convergent stopping records the per-event final schedule
+            iters=res.get("iters", cfg.iters),
+            burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
             percent_accept=res["percent_accept"], final_n=res["final_n"])
         written += 1
     return written

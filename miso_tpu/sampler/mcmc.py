@@ -116,12 +116,35 @@ class SamplerResult(NamedTuple):
         return self.loglik.reshape(E, R * K)
 
 
+def _pow2_pad_events(batch: EventBatch, start_psi, n: int):
+    """Pad a continuation batch's event axis up to the next power of two
+    (zero events: num_iso=0, masked everywhere).  The continuation rounds
+    otherwise present a NEW batch shape every round (the remaining-event
+    count shrinks arbitrarily), and each new shape is a fresh XLA
+    compile -- minutes on remote-compile TPU runtimes.  With bucketing
+    the shapes per (iters, burn_in) schedule are log2(E) at most."""
+    target = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+    if target == n:
+        return batch, start_psi
+    arrs = []
+    for a in batch:
+        a = np.asarray(a)
+        pad = np.zeros((target - n,) + a.shape[1:], a.dtype)
+        arrs.append(np.concatenate([a, pad], axis=0))
+    if start_psi is not None:
+        sp = np.asarray(start_psi)
+        pad = np.zeros((target - n,) + sp.shape[1:], sp.dtype)
+        start_psi = np.concatenate([sp, pad], axis=0)
+    return EventBatch(*arrs), start_psi
+
+
 def run_batch_convergent(
     key: jnp.ndarray,
     events: EventBatch,
     cfg: SamplerConfig,
     max_iters: int = 500000,
     rhat_threshold: float = 1.1,
+    mesh=None,
 ):
     """Convergent-mean stopping with adaptive extension.
 
@@ -131,9 +154,11 @@ def run_batch_convergent(
     (pysplicing/src/miso.c:903-928).  Here the whole batch runs a block,
     then ONLY the unconverged events re-run as a continuation batch
     (GIVEN start from their final psi) -- masked continuation instead of
-    per-event while-loops.
+    per-event while-loops.  Continuation batches are padded to
+    power-of-two event counts so the set of compile shapes is bounded.
 
-    Returns (results, iters_used): per-event SamplerResult-like dicts.
+    Returns (results, iters_used): per-event SamplerResult-like dicts
+    with per-event "iters"/"burn_in" recording the final schedule.
     """
     from miso_tpu.stats.rhat import batch_rhat
 
@@ -147,11 +172,19 @@ def run_batch_convergent(
     while len(remaining):
         sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
         sp = None if start_psi is None else start_psi[remaining]
-        res = run_batch(jax.random.fold_in(key, round_i), sub, cur_cfg,
-                        start_psi=None if sp is None else jnp.asarray(sp))
-        rh = np.asarray(batch_rhat(res.psi_samples))  # (Esub, I)
+        sub, sp = _pow2_pad_events(sub, sp, len(remaining))
+        rkey = jax.random.fold_in(key, round_i)
+        if mesh is not None:
+            from miso_tpu.parallel.mesh import run_batch_sharded
+            res = run_batch_sharded(rkey, sub, cur_cfg, mesh=mesh,
+                                    start_psi=sp)
+        else:
+            res = run_batch(rkey, sub, cur_cfg,
+                            start_psi=None if sp is None else jnp.asarray(sp))
+        nr = len(remaining)
+        rh = np.asarray(batch_rhat(res.psi_samples))[:nr]  # (Esub, I)
         iso_mask = (np.arange(events.weights.shape[2])[None, :]
-                    < np.asarray(sub.num_iso)[:, None])
+                    < np.asarray(sub.num_iso)[:nr, None])
         conv = np.all(np.where(iso_mask, rh <= rhat_threshold, True),
                       axis=1)
         next_iters = 3 * cur_cfg.iters - 2 * cur_cfg.burn_in
@@ -169,13 +202,14 @@ def run_batch_convergent(
                     "samples": flat[j], "loglik": ll[j],
                     "accepted": acc[j], "rejected": rej[j],
                     "final_n": fn[j],
+                    "iters": cur_cfg.iters, "burn_in": cur_cfg.burn_in,
                 }
         new_remaining = remaining[~conv]
         if len(new_remaining) == 0:
             break
         fp = np.zeros((E,) + np.asarray(res.final_psi).shape[1:],
                       dtype=np.float32)
-        fp[remaining] = np.asarray(res.final_psi)
+        fp[remaining] = np.asarray(res.final_psi)[:nr]
         start_psi = fp
         remaining = new_remaining
         cur_cfg = dataclasses.replace(

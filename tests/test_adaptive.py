@@ -87,3 +87,47 @@ def test_linear_start_pipeline():
     for r in results:
         assert r is not None
         assert np.all(np.isfinite(r["samples"]))
+
+
+def test_convergent_extension_is_bucketed():
+    """An impossible threshold forces one extension round for every
+    event; continuation batches are padded to power-of-two event counts
+    so compile shapes stay bounded (remote-TPU compile cost)."""
+    evs = _events(5, seed=7)  # 5 -> continuation rounds pad to 8
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events(evs).items()})
+    cfg = SamplerConfig(iters=200, burn_in=50, lag=2, chains=2)
+    results, iters_used = run_batch_convergent(
+        jax.random.PRNGKey(2), batch, cfg, max_iters=700,
+        rhat_threshold=0.0)
+    # round 1: 200 iters, unconverged -> round 2: 3*200-2*50 = 500,
+    # next would be 3*500-2*200 = 1100 > 700 -> forced stop
+    assert np.all(iters_used == 500), iters_used
+    for r in results:
+        assert r is not None
+        assert r["iters"] == 500 and r["burn_in"] == 200
+
+
+def test_convergent_pipeline_records_schedule(tmp_path):
+    """`miso --run --convergent`: per-event final schedule lands in the
+    .miso header (iters=/burn_in=)."""
+    from miso_tpu.pipeline import (RunConfig, run_events,
+                                   write_event_results)
+
+    evs = _events(3, seed=9)
+    cfg = RunConfig(read_len=25, iters=300, burn_in=60, lag=3, chains=2,
+                    stop="convergent", max_iters=4000)
+    results = run_events(evs, cfg, seed=1)
+    assert all(r is not None for r in results)
+    for r in results:
+        assert r["iters"] >= 300 and np.isfinite(r["samples"]).all()
+    n = write_event_results(evs, results, str(tmp_path), cfg)
+    assert n == 3
+    import glob
+    headers = []
+    for p in glob.glob(str(tmp_path / "*" / "*.miso")):
+        with open(p) as f:
+            headers.append(f.readline())
+    assert len(headers) == 3
+    for h, r in zip(sorted(headers), results):
+        assert "iters=" in h and "burn_in=" in h
