@@ -84,10 +84,10 @@ def main():
     res = runner(key, batch, cfg)
     np.asarray(res.accepted)
 
-    # best of 3: the remote-runtime dispatch adds seconds of variance on
+    # best of 5: the remote-runtime dispatch adds seconds of variance on
     # top of the ~0.2s device execution; the minimum is the device time
     dt = float("inf")
-    for rep in range(3):
+    for rep in range(5):
         t0 = time.perf_counter()
         res = runner(jax.random.PRNGKey(1 + rep), batch, cfg)
         jax.block_until_ready(res)

@@ -110,35 +110,33 @@ class MISOFileData:
 
 
 def parse_sampler_params_from_header(header: str) -> Dict[str, str]:
-    """Ref: samples_utils.py:159-174."""
-    if header.startswith("#"):
-        header = header[1:]
+    """One parse for everything the `.miso` header carries: the header
+    is tab-separated `key=value` fields (written by write_miso_file
+    above; format defined by misopy/miso_sampler.py:444-455).  The
+    reference re-parses the line once per consumer
+    (samples_utils.py:159-211); here every consumer reads this dict."""
     params = {}
-    for fld in header.rstrip("\n").split("\t"):
-        if "=" in fld:
-            key, value = fld.split("=", 1)
+    for fld in header.lstrip("#").rstrip("\n").split("\t"):
+        key, eq, value = fld.partition("=")
+        if eq:
             params[key] = value
     return params
 
 
 def get_isoforms_from_header(header: str) -> str:
-    """Ref: samples_utils.py:177-189."""
-    iso = header[1:].split("\t")[0]
-    iso = iso.split("isoforms=")[1]
-    return iso[1:-1]
+    """The isoforms= field without its [ ] brackets
+    (consumed by the comparison writer, hypothesis_test.py:269)."""
+    return parse_sampler_params_from_header(header)["isoforms"][1:-1]
 
 
 def get_counts_from_header(header: str) -> Dict[str, str]:
-    """Ref: samples_utils.py:192-211."""
-    counts: Dict[str, str] = {}
-    for fld in header[1:].split("\t"):
-        if fld.startswith("counts="):
-            counts["counts"] = fld.split("=", 1)[1]
-        elif fld.startswith("assigned_counts="):
-            counts["assigned_counts"] = fld.split("=", 1)[1]
-    if len(counts) != 2:
-        counts = {"counts": "n/a", "assigned_counts": "n/a"}
-    return counts
+    """counts= / assigned_counts= fields; both-or-neither, 'n/a'
+    otherwise (the contract of samples_utils.py:192-211)."""
+    params = parse_sampler_params_from_header(header)
+    if "counts" in params and "assigned_counts" in params:
+        return {"counts": params["counts"],
+                "assigned_counts": params["assigned_counts"]}
+    return {"counts": "n/a", "assigned_counts": "n/a"}
 
 
 def load_miso_file(source) -> Optional[MISOFileData]:
