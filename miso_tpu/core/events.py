@@ -279,6 +279,7 @@ def pad_events(
     pad_reads: Optional[int] = None,
     dtype=np.float32,
     read_dtype=None,
+    per_read: bool = True,
 ):
     """Pad a list of compiled events to common (C, I, R) and stack.
 
@@ -293,6 +294,12 @@ def pad_events(
     by <0.5% relative (0/1 compatibility weights are exact), well inside
     Monte-Carlo equivalence; the per-read log-score term cancels in the
     MH ratio and only shifts recorded log-likelihoods.
+
+    ``per_read=False`` skips materializing the per-read tensors entirely
+    (placeholder (E, 1, I) zeros): the per-class multinomial Gibbs
+    (gibbs='multinomial') samples assignment counts from (C, I) class
+    tensors, so a million-read event costs the same device memory and
+    iteration work as a hundred-read one (see docs/DEEP_EVENTS.md).
     """
     E = len(events)
     if read_dtype is None:
@@ -302,6 +309,8 @@ def pad_events(
     C = pad_classes or _round_up(max(max(ev.num_classes, 1) for ev in events))
     R = pad_reads or _round_up_reads(
         max(max(int(ev.counts.sum()), 1) for ev in events))
+    if not per_read:
+        R = 1
     weights = np.zeros((E, C, I), dtype)
     log_read = np.zeros((E, C, I), dtype)
     counts = np.zeros((E, C), dtype)
@@ -318,12 +327,14 @@ def pad_events(
         log_iso_w[e, :k] = ev.log_iso_w
         hyper[e, :k] = ev.hyper
         num_iso[e] = k
-        # expand classes to per-read rows (static per event): the device
-        # Gibbs step then needs no gathers (see gibbs_reassign_perread)
-        rc = np.repeat(np.arange(c, dtype=np.int64),
-                       ev.counts.astype(np.int64))
-        read_w[e, :len(rc), :k] = ev.weights[rc]
-        read_logscore[e, :len(rc), :k] = ev.log_read[rc]
+        if per_read:
+            # expand classes to per-read rows (static per event): the
+            # device Gibbs step then needs no gathers
+            # (see gibbs_reassign_perread)
+            rc = np.repeat(np.arange(c, dtype=np.int64),
+                           ev.counts.astype(np.int64))
+            read_w[e, :len(rc), :k] = ev.weights[rc]
+            read_logscore[e, :len(rc), :k] = ev.log_read[rc]
     return dict(weights=weights, log_read=log_read, counts=counts,
                 log_iso_w=log_iso_w, hyper=hyper, num_iso=num_iso,
                 read_w=read_w, read_logscore=read_logscore)

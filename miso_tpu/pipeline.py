@@ -180,16 +180,19 @@ def run_events(
         chains=cfg.chains, algorithm=cfg.algorithm)
     out: List[Optional[dict]] = [None] * len(events)
     for (pad_iso, pad_classes, pad_reads), idxs in bucket_events(events):
+        # very deep events: per-class multinomial Gibbs keeps device
+        # memory and per-iteration work O(classes) instead of O(reads)
+        # -- the per-read tensors are never materialized
+        # (docs/DEEP_EVENTS.md)
+        deep = pad_reads > 16384 and cfg.algorithm == "reassign"
         for lo in range(0, len(idxs), cfg.max_batch_events):
             chunk = idxs[lo:lo + cfg.max_batch_events]
             evs = [events[i] for i in chunk]
             pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes,
-                             pad_reads=pad_reads)
+                             pad_reads=pad_reads, per_read=not deep)
             batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
-            # very deep events: per-class multinomial Gibbs keeps device
-            # memory O(classes) instead of O(reads)
             sampler_cfg = sampler_cfg_base
-            if pad_reads > 16384 and cfg.algorithm == "reassign":
+            if deep:
                 sampler_cfg = dataclasses.replace(sampler_cfg_base,
                                                   gibbs="multinomial")
             key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
