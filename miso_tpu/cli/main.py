@@ -53,6 +53,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "3*iters - 2*burn_in (pysplicing/src/"
                         "miso.c:903-928); equivalent to settings "
                         "[sampler] stop = convergent.")
+    p.add_argument("--profile", dest="profile_dir", default=None,
+                   metavar="DIR",
+                   help="Write a jax.profiler device trace for the run "
+                        "to DIR (view with TensorBoard) and log "
+                        "per-bucket device time.")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--coordinator", dest="coordinator", default=None,
                    help="Multi-host: coordinator address host:port "
@@ -159,7 +164,8 @@ def main(argv=None) -> int:
     compute_all_genes_psi(
         index_dir, reads, args.read_len,
         os.path.abspath(os.path.expanduser(args.output_dir)),
-        cfg=cfg, settings=settings, seed=args.seed, gene_ids=gene_ids)
+        cfg=cfg, settings=settings, seed=args.seed, gene_ids=gene_ids,
+        profile_dir=args.profile_dir)
     return 0
 
 

@@ -161,12 +161,18 @@ def run_events(
     cfg: RunConfig,
     seed: int = 0,
     mesh="auto",
+    bucket_stats: Optional[list] = None,
 ):
     """Run compiled events through the device sampler, bucketed by shape.
 
     Events are sharded over all local devices (see `resolve_mesh`); pass
     mesh=None to force single-device execution, or an explicit
     jax.sharding.Mesh.
+
+    `bucket_stats`, if given, collects one dict per device batch:
+    {shape, events, seconds, events_per_s} -- the per-bucket device-time
+    counters the reference lacks (its only timer is the per-event
+    wall-clock print, miso_sampler.py:373).
 
     Returns a list parallel to `events` of per-event result dicts.
     """
@@ -186,6 +192,7 @@ def run_events(
         # (docs/DEEP_EVENTS.md)
         deep = pad_reads > 16384 and cfg.algorithm == "reassign"
         for lo in range(0, len(idxs), cfg.max_batch_events):
+            t_bucket = time.time()
             chunk = idxs[lo:lo + cfg.max_batch_events]
             evs = [events[i] for i in chunk]
             pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes,
@@ -220,6 +227,13 @@ def run_events(
                         "iters": int(r["iters"]),
                         "burn_in": int(r["burn_in"]),
                     }
+                if bucket_stats is not None:
+                    dt = time.time() - t_bucket
+                    bucket_stats.append({
+                        "shape": (pad_iso, pad_classes, pad_reads),
+                        "events": len(chunk), "seconds": dt,
+                        "events_per_s": len(chunk) / max(dt, 1e-9),
+                        "stop": "convergent"})
                 continue
             start_psi = None
             if cfg.start == "linear":
@@ -286,6 +300,13 @@ def run_events(
                         / max(accepted[j] + rejected[j], 1),
                     "final_n": fn,
                 }
+            if bucket_stats is not None:
+                dt = time.time() - t_bucket
+                bucket_stats.append({
+                    "shape": (pad_iso, pad_classes, pad_reads),
+                    "events": len(chunk), "seconds": dt,
+                    "events_per_s": len(chunk) / max(dt, 1e-9),
+                    "backend": backend})
     return out
 
 
@@ -320,11 +341,15 @@ def compute_all_genes_psi(
     gene_ids: Optional[List[str]] = None,
     seed: int = 0,
     verbose: bool = True,
+    profile_dir: Optional[str] = None,
 ) -> int:
     """The `miso --run` engine.  Returns the number of events written.
 
     Ref: misopy/miso.py:340-425 + run_miso.py:34-202, collapsed into one
     process with device-side batch parallelism.
+
+    `profile_dir` wraps device execution in a jax.profiler trace
+    (view with TensorBoard / xprof) and logs per-bucket device time.
     """
     from miso_tpu.io.sanity import check_gff_and_bam, setup_logger
 
@@ -385,12 +410,28 @@ def compute_all_genes_psi(
     if verbose and mesh is not None:
         print("Event catalog sharded over %d local devices"
               % mesh.devices.size)
-    results = run_events(events, cfg, seed=seed, mesh=mesh)
+    import jax
+
+    bucket_stats: List[dict] = []
+    if profile_dir:
+        os.makedirs(profile_dir, exist_ok=True)
+        with jax.profiler.trace(profile_dir):
+            results = run_events(events, cfg, seed=seed, mesh=mesh,
+                                 bucket_stats=bucket_stats)
+        if verbose:
+            print("jax.profiler trace written to %s" % profile_dir)
+    else:
+        results = run_events(events, cfg, seed=seed, mesh=mesh,
+                             bucket_stats=bucket_stats)
     written = write_event_results(events, results, output_dir, cfg)
     if verbose:
         dt = time.time() - t0
-        import jax
         n_dev = max(1, len(jax.local_devices()))
+        for bs in bucket_stats:
+            print("  bucket (iso=%d, classes=%d, reads=%d): %d events "
+                  "in %.2fs (%.1f events/s)"
+                  % (bs["shape"] + (bs["events"], bs["seconds"],
+                                    bs["events_per_s"])))
         print("Quantified %d events (%d skipped) in %.2fs "
               "(host compile %.2fs); %.1f events/s (%.1f events/s/chip)"
               % (written, skipped, dt, t_compile,
