@@ -108,6 +108,52 @@ def test_sashimi_plot_event(events_index, sashimi_settings, tmp_path):
     assert os.path.isfile(out) and os.path.getsize(out) > 5000
 
 
+def test_genome_transform_reverse():
+    """Minus-strand axes run right-to-left; inverse() recovers genomic
+    coordinates either way (plot_gene.py:366-391 getScaling)."""
+    from miso_tpu.plot.sashimi import GenomeTransform
+    exons = [(100, 199), (400, 499)]
+    fwd = GenomeTransform(exons, 100, 499, intron_scale=30.0,
+                          exon_scale=4.0, reverse=False)
+    rev = GenomeTransform(exons, 100, 499, intron_scale=30.0,
+                          exon_scale=4.0, reverse=True)
+    assert float(fwd(100)) < float(fwd(499))
+    assert float(rev(100)) > float(rev(499))
+    assert abs(float(fwd(100)) + float(rev(100)) - fwd.total) < 1e-9
+    for pos in (100, 150, 250, 450, 499):
+        assert abs(fwd.inverse(float(fwd(pos))) - pos) <= 1
+        assert abs(rev.inverse(float(rev(pos))) - pos) <= 1
+
+
+def test_sashimi_plot_event_option_paths(events_index, tmp_path,
+                                         tmp_path_factory):
+    """logged + bar_posteriors + fixed ymax + reverse_minus render path."""
+    from miso_tpu.plot.sashimi import plot_event
+    d = tmp_path_factory.mktemp("sashimi_opts")
+    p = d / "settings.txt"
+    p.write_text("""\
+[data]
+bam_prefix = %s
+miso_prefix = %s
+bam_files = ["heartWT1.sorted.bam", "heartKOa.sorted.bam"]
+miso_files = ["heartWT1", "heartKOa"]
+coverages = [100000, 120000]
+
+[plotting]
+logged = True
+bar_posteriors = True
+reverse_minus = True
+ymax = 3
+nyticks = 4
+nxticks = 5
+show_ylabel = False
+sample_labels = ["WT", "KO"]
+""" % (os.path.join(SASHIMI_DATA, "bam-data"), MISO_DATA))
+    out = plot_event(EVENT, events_index, str(p), str(tmp_path),
+                     plot_label="opts")
+    assert os.path.isfile(out) and os.path.getsize(out) > 5000
+
+
 def test_plot_bf_dist(tmp_path, sashimi_settings):
     from miso_tpu.io.comparison import output_samples_comparison
     from miso_tpu.plot.sashimi import plot_bf_dist
