@@ -2,8 +2,8 @@
 
 Parity: misopy/exon_utils.py:42-130 (get_const_exons_from_mRNA /
 get_const_exons_by_gene + GFF output).  The bedtools `tagBam` wrapper of
-the reference is replaced by the native interval tagging in
-miso_tpu.io.coverage (used by pe_utils and --prefilter).
+the reference is replaced by native interval tagging: pe_utils matches
+reads to exons directly and --prefilter uses miso_tpu.io.sanity.
 """
 from __future__ import annotations
 

@@ -52,10 +52,22 @@ def parse_part(exon: str, delimiter: str = ":") -> Tuple[str, int, int, str]:
     return chrom, int(start), int(end), strand
 
 
+def _part_info(exon: str) -> dict:
+    """``chrom:start:end:strand`` -> info dict with length
+    (as_events.py:303-312 parse_part's return shape)."""
+    chrom, start, end, strand = parse_part(exon)
+    return {"chrom": chrom, "start_coord": start, "end_coord": end,
+            "strand": strand, "len": abs(end - start) + 1}
+
+
 def parse_event_information(event_name: str, event_type: str,
-                            delimiter: str = ";") -> TwoIsoEvent:
-    """Fill part lengths from a coordinate-encoded event name.
-    Ref: as_events.py parse_event_information."""
+                            delimiter: str = ";",
+                            events_to_info: Optional[dict] = None
+                            ) -> TwoIsoEvent:
+    """Fill part lengths from a coordinate-encoded event name.  AFE/ALE
+    names are opaque: their exon structure comes from a side-table
+    (`events_to_info`, see load_afe_ale_events_information).
+    Ref: as_events.py:314-341 parse_event_information."""
     ev = TwoIsoEvent(label=event_name, event_type=event_type)
     if event_type in ("SE", "RI"):
         up, mid, dn = event_name.split(delimiter)
@@ -73,9 +85,96 @@ def parse_event_information(event_name: str, event_type: str,
         ev.core_len = e - s + 1
         _, s, e, _ = parse_part(ext)
         ev.ext_len = e - s + 1
+    elif event_type in ("AFE", "ALE"):
+        if not events_to_info or event_name not in events_to_info:
+            raise KeyError("Unknown %s event %s (missing events info file)"
+                           % (event_type, event_name))
+        info = events_to_info[event_name]
+        ev.proximal_exons = info["proximal_exons"]
+        ev.distal_exons = info["distal_exons"]
+        ev.chrom = ev.proximal_exons[0]["chrom"]
     else:
         raise ValueError("Unsupported event type: %s" % event_type)
     return ev
+
+
+def parse_afe_ale_event(proximal_exons_str: str, distal_exons_str: str,
+                        delimiter: str = ",") -> dict:
+    """Comma-separated exon coordinate strings -> proximal/distal exon
+    info lists.  Ref: as_events.py:343-365 parse_afe_ale_event."""
+    proximal = [_part_info(x) for x in proximal_exons_str.split(delimiter)]
+    distal = [_part_info(x) for x in distal_exons_str.split(delimiter)]
+    if not proximal or not distal:
+        raise ValueError("AFE/ALE event needs proximal and distal exons")
+    return {"proximal_exons": proximal, "distal_exons": distal}
+
+
+def load_afe_ale_events_information(events_info_filename: str,
+                                    event_type: str,
+                                    delimiter: str = "\t") -> dict:
+    """TSV of (event_name, proximal exons, distal exons) -> info table.
+    Ref: as_events.py:367-386."""
+    if event_type not in ("AFE", "ALE"):
+        raise ValueError("Event type must be AFE/ALE, got %s" % event_type)
+    out: dict = {}
+    with open(events_info_filename) as f:
+        for line in f:
+            line = line.rstrip("\n")
+            if not line:
+                continue
+            name, proximal, distal = line.split(delimiter)
+            out[name] = parse_afe_ale_event(proximal, distal)
+    return out
+
+
+def load_event_counts(events_filename: str, event_type: str,
+                      delimiter: str = ";",
+                      events_info_filename: Optional[str] = None
+                      ) -> "MISOEvents":
+    """Parse an mRNA-Seq event counts file (event_name TAB c1;c2;...)
+    into a MISOEvents set.  Count layouts per type (as_events.py:388-504):
+    SE up;se;dn;upinc;dninc;exc -- TandemUTR ext;core --
+    AFE/ALE proximal_body;distal_body;proximal_jxns;distal_jxns --
+    RI up;ri;dn;ejxn."""
+    events_to_info = None
+    if events_info_filename is not None and event_type in ("AFE", "ALE"):
+        events_to_info = load_afe_ale_events_information(
+            events_info_filename, event_type)
+    events: Dict[str, TwoIsoEvent] = {}
+    with open(events_filename) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            event_name, counts_str = line.split("\t")
+            counts = [int(c) for c in counts_str.split(delimiter)]
+            if len(counts) < 2:
+                raise ValueError("Event %s has fewer than 2 counts"
+                                 % event_name)
+            ev = parse_event_information(event_name, event_type,
+                                         events_to_info=events_to_info)
+            if event_type == "SE":
+                num_up, num_se, num_dn, num_upinc, num_dninc, num_exc = \
+                    counts
+                ev.num_inc = num_se + num_upinc + num_dninc
+                ev.num_exc = num_exc
+                ev.num_common = num_up + num_dn
+            elif event_type == "TandemUTR":
+                ev.num_ext, ev.num_core = counts
+            elif event_type in ("AFE", "ALE"):
+                (ev.num_proximal_body, ev.num_distal_body,
+                 ev.num_proximal_jxns, ev.num_distal_jxns) = counts
+            elif event_type == "RI":
+                num_up, num_ri, num_dn, num_exc = counts
+                ev.num_inc = num_ri
+                ev.num_exc = num_exc
+                ev.num_common = num_up + num_dn
+            elif event_type == "MXE":
+                raise ValueError("MXEs not supported.")
+            else:
+                raise ValueError("Unknown event type %s" % event_type)
+            events[event_name] = ev
+    return MISOEvents(2, event_type, events=events)
 
 
 # ----------------------------------------------------- event -> gene
@@ -167,6 +266,29 @@ class MISOEvents:
                 (ev.num_ext or 0) >= atleast_ext and
                 ((ev.num_core or 0) + (ev.num_ext or 0)) >= atleast_sum)
         }
+
+    def filter_afe_ale_events(self, atleast_proximal=0, atleast_distal=0,
+                              proximal_distal_sum=20) -> None:
+        """Ref: as_events.py:144-157."""
+        def keep(ev):
+            num_p = (ev.num_proximal_body or 0) + (ev.num_proximal_jxns or 0)
+            num_d = (ev.num_distal_body or 0) + (ev.num_distal_jxns or 0)
+            return (num_p >= atleast_proximal and num_d >= atleast_distal
+                    and num_p + num_d >= proximal_distal_sum)
+
+        self.events = {n: ev for n, ev in self.events.items() if keep(ev)}
+
+    def filter_events(self) -> None:
+        """Dispatch the per-type coverage filter (as_events.py:129-142)."""
+        if self.event_type in ("SE", "RI"):
+            self.filter_se_events()
+        elif self.event_type == "TandemUTR":
+            self.filter_tandem_utr_events()
+        elif self.event_type in ("AFE", "ALE"):
+            self.filter_afe_ale_events()
+        else:
+            raise ValueError("Unsupported event type for filtering: %s"
+                             % self.event_type)
 
     def loaded_events_to_genes(self, read_len=None, overhang_len=None
                                ) -> Dict[str, Gene]:

@@ -111,6 +111,78 @@ def parse_gtf_attributes(field9: str) -> Dict[str, List[str]]:
     return attrs
 
 
+_V2_TOKEN_RE = None
+
+
+def parse_v2_attributes(field9: str) -> Dict[str, List[str]]:
+    """GFF v2 ``tag value "free text"; tag2 v`` attributes: identifier
+    starts a tag, bare words and quoted strings append values, ';'
+    separates tags, '#' starts a trailing comment
+    (gff_utils.py:752-810 AttributeIterator semantics)."""
+    global _V2_TOKEN_RE
+    if _V2_TOKEN_RE is None:
+        import re
+        _V2_TOKEN_RE = re.compile(
+            r'\s*(?:(?P<sep>;)|(?P<comment>#.*$)'
+            r'|"(?P<quoted>(?:[^"\\]|\\.)*)"'
+            r'|(?P<word>[^;#\s"]+))')
+    attrs: Dict[str, List[str]] = {}
+    tag: Optional[str] = None
+    s = field9.rstrip()
+    pos = 0
+    while pos < len(s):
+        m = _V2_TOKEN_RE.match(s, pos)
+        if m is None or m.end() == pos:
+            break
+        pos = m.end()
+        if m.group("comment") is not None:
+            break
+        if m.group("sep") is not None:
+            tag = None
+            continue
+        val = m.group("quoted")
+        if val is None:
+            val = m.group("word")
+        if tag is None:
+            tag = val
+            attrs.setdefault(tag, [])
+        else:
+            attrs[tag].append(val.replace('\\"', '"'))
+    return attrs
+
+
+def parse_gff_line_v1(line: str) -> Optional[GFFRecord]:
+    """GFF v1: 8 fixed fields + optional free-text group column
+    (gff_utils.py:664-685 _parse_record_v1)."""
+    fields = line.rstrip("\n").split("\t", 8)
+    if len(fields) < 8:
+        return None
+    attrs = {"group": [fields[8]]} if len(fields) == 9 else {}
+    return GFFRecord(
+        seqid=fields[0], source=fields[1], type=fields[2],
+        start=int(fields[3]), end=int(fields[4]),
+        score=None if fields[5] == "." else float(fields[5]),
+        strand=None if fields[6] == "." else fields[6],
+        phase=None if fields[7] == "." else int(fields[7]),
+        attributes=attrs)
+
+
+def parse_gff_line_v2(line: str) -> Optional[GFFRecord]:
+    """GFF v2 / GTF: 8 fixed fields + tag-value attribute column
+    (gff_utils.py:687-709 _parse_record_v2)."""
+    fields = line.rstrip("\n").split("\t", 8)
+    if len(fields) < 8:
+        return None
+    attrs = parse_v2_attributes(fields[8]) if len(fields) == 9 else {}
+    return GFFRecord(
+        seqid=fields[0], source=fields[1], type=fields[2],
+        start=int(fields[3]), end=int(fields[4]),
+        score=None if fields[5] == "." else float(fields[5]),
+        strand=None if fields[6] == "." else fields[6],
+        phase=None if fields[7] == "." else int(fields[7]),
+        attributes=attrs)
+
+
 def _looks_like_gtf(field9: str) -> bool:
     return '"' in field9 and "=" not in field9.split('"')[0]
 
@@ -153,14 +225,34 @@ def gtf_to_gff3_records(records: List[GFFRecord]) -> List[GFFRecord]:
 
 
 def read_gff(path: str) -> List[GFFRecord]:
-    """Read GFF3 (native) or GTF (auto-detected and converted to the
-    GFF3 hierarchy).  Ref: misopy/gff_utils.py:509-953 Reader supports
-    both dialects."""
+    """Read GFF3 (native), GFF v1/v2 (via the ``##gff-version``
+    directive), or GTF (auto-detected and converted to the GFF3
+    hierarchy).  Ref: misopy/gff_utils.py:509-760 Reader dispatches a
+    per-version record parser on the gff-version directive."""
     records = []
     gtf_seen = False
+    version = "3"
     with open(path) as f:
         for line in f:
+            if line.startswith("##"):
+                tokens = line[2:].split(None, 1)
+                if len(tokens) == 2 and tokens[0] == "gff-version":
+                    version = tokens[1].strip()
+                continue
             if line.startswith("#") or not line.strip():
+                continue
+            if version == "1":
+                rec = parse_gff_line_v1(line)
+                if rec is not None:
+                    records.append(rec)
+                continue
+            if version.startswith("2"):
+                rec = parse_gff_line_v2(line)
+                if rec is not None:
+                    records.append(rec)
+                    if ("gene_id" in rec.attributes
+                            and "transcript_id" in rec.attributes):
+                        gtf_seen = True
                 continue
             fields = line.rstrip("\n").split("\t")
             if len(fields) < 9:

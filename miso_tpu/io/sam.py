@@ -845,9 +845,13 @@ def pair_sam_reads(reads: Iterable[AlignedRead],
             continue
         paired.setdefault(name, []).append(read)
         if len(paired[name]) == 2 and strand_rule == "fr-firststrand":
-            first = paired[name][0]
-            if (first.is_read1 and first.is_reverse) or \
-               (first.is_read2 and first.is_reverse):
+            # Put the forward-strand mate first.  The reference applies
+            # two sequential swaps keyed on (is_read1, is_reverse) then
+            # (is_read2, is_reverse) (sam_utils.py:236-247); for
+            # opposite-strand pairs -- the only ones that survive the
+            # same-strand filter below -- that composition is exactly
+            # "swap iff the first-seen mate is reverse".
+            if paired[name][0].is_reverse:
                 paired[name] = paired[name][::-1]
 
     to_delete = []

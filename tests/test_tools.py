@@ -277,3 +277,43 @@ def test_sam_to_bam_roundtrip(tmp_path):
     # sorted by position
     pos = [r.pos for r in reads if r.rname == reads[0].rname]
     assert pos == sorted(pos)
+
+
+def test_read_gff_v2_dialect(tmp_path):
+    """##gff-version 2 files parse tag-value attributes (quoted and
+    bare) and GTF-style records build the gene hierarchy
+    (gff_utils.py:687-709,752-810)."""
+    from miso_tpu.io.gff import load_genes_from_gff, parse_v2_attributes
+    attrs = parse_v2_attributes(
+        'gene_id "g1"; note value1 "free text" ; empty ; # trailing')
+    assert attrs["gene_id"] == ["g1"]
+    assert attrs["note"] == ["value1", "free text"]
+    assert attrs["empty"] == []
+    p = tmp_path / "v2.gff"
+    p.write_text(
+        "##gff-version 2\n"
+        "chr1\tsrc\texon\t100\t199\t.\t+\t.\t"
+        'gene_id "g1"; transcript_id "t1"\n'
+        "chr1\tsrc\texon\t300\t399\t.\t+\t.\t"
+        'gene_id "g1"; transcript_id "t1"\n'
+        "chr1\tsrc\texon\t100\t399\t.\t+\t.\t"
+        'gene_id "g1"; transcript_id "t2"\n')
+    genes = load_genes_from_gff(str(p))
+    assert list(genes) == ["g1"]
+    assert genes["g1"].num_isoforms == 2
+
+
+def test_read_gff_v1_dialect(tmp_path):
+    """##gff-version 1 rows carry the free-text group column
+    (gff_utils.py:664-685)."""
+    from miso_tpu.io.gff import read_gff
+    p = tmp_path / "v1.gff"
+    p.write_text(
+        "##gff-version 1\n"
+        "chr1\tsrc\texon\t100\t199\t0.5\t+\t.\tmy group text\n"
+        "chr1\tsrc\texon\t300\t399\t.\t-\t0\n")
+    recs = read_gff(str(p))
+    assert len(recs) == 2
+    assert recs[0].attributes == {"group": ["my group text"]}
+    assert recs[0].score == 0.5
+    assert recs[1].attributes == {} and recs[1].phase == 0
