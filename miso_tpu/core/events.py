@@ -256,6 +256,15 @@ def _round_up(x: int, candidates=(2, 4, 8, 16, 32, 64, 128, 256, 512, 1024)) -> 
     return int(2 ** np.ceil(np.log2(max(x, 1))))
 
 
+def _round_up_iso(x: int) -> int:
+    """Pad granularity for the isoform axis: every Gibbs iteration pays
+    O(I) passes over the (R, B) read tile, so a dead padded isoform is
+    a full extra pass -- bucket 3-isoform events at exactly 3 (and 5-6
+    at 6) instead of the next power of two.  The sampler kernels unroll
+    I as Python lists, so no alignment constraint applies."""
+    return _round_up(x, candidates=(2, 3, 4, 6, 8, 16, 32, 64))
+
+
 def _round_up_reads(x: int) -> int:
     """Pad granularity for the per-read axis: every MCMC iteration pays
     O(R) device work, so padding waste is throughput loss (power-of-2
@@ -347,7 +356,8 @@ def bucket_events(
     buckets, so jit recompiles only once per bucket shape."""
     buckets: dict = {}
     for idx, ev in enumerate(events):
-        key = (_round_up(ev.num_iso), _round_up(max(ev.num_classes, 1)),
+        key = (_round_up_iso(ev.num_iso),
+               _round_up(max(ev.num_classes, 1)),
                _round_up_reads(max(int(ev.counts.sum()), 1)))
         buckets.setdefault(key, []).append(idx)
     return sorted(buckets.items())

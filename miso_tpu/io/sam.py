@@ -717,7 +717,12 @@ def open_alignments(path: str):
 
 
 class SamFile:
-    """SAM text file with the BamReader fetch surface (indexed)."""
+    """SAM text file with the BamReader fetch surface (indexed).
+
+    Deliberately in-memory: plain-text SAM has no block structure to
+    seek into (pysam cannot region-fetch SAM either; the reference
+    converts via sam_to_bam first, sam_to_bam.py:32-60).  Genome-scale
+    inputs should be BAM, which streams through IndexedBamReader."""
 
     def __init__(self, path: str):
         self.path = path
@@ -735,18 +740,24 @@ class SamFile:
         return self._index.fetch(chrom, start, end)
 
 
-def fetch_bam_reads_in_gene(alignments, chrom: str, start: int, end: int
-                            ) -> List[AlignedRead]:
-    """Region fetch with the chr-prefix fallback
-    (misopy/sam_utils.py:154-181)."""
+def iter_bam_reads_in_gene(alignments, chrom: str, start: int, end: int):
+    """Lazy region fetch with the chr-prefix fallback; lets callers that
+    only need a threshold count (e.g. the coverage prefilter) stop
+    without decoding the whole region."""
     if chrom not in alignments.references:
         parts = chrom.split("chr")
         chrom = parts[0] if len(parts) <= 1 else parts[1]
     try:
-        return list(alignments.fetch(chrom, start, end))
+        yield from alignments.fetch(chrom, start, end)
     except (ValueError, KeyError):
         print("Cannot fetch reads in region: %s:%d-%d" % (chrom, start, end))
-        return []
+
+
+def fetch_bam_reads_in_gene(alignments, chrom: str, start: int, end: int
+                            ) -> List[AlignedRead]:
+    """Region fetch with the chr-prefix fallback
+    (misopy/sam_utils.py:154-181)."""
+    return list(iter_bam_reads_in_gene(alignments, chrom, start, end))
 
 
 # ----------------------------------------------------------- BAM writing

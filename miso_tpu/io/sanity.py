@@ -84,17 +84,29 @@ def get_ids_passing_filter(gff_index_dir: str, bam_filename: str,
     The reference shells out to bedtools coverage
     (run_events_analysis.py:27-71); this counts with the native reader.
     """
-    from miso_tpu.io.index import get_gene_ids_to_filenames, load_indexed_gene
-    from miso_tpu.io.sam import fetch_bam_reads_in_gene, open_alignments
+    from miso_tpu.io.gff import read_gff
+    from miso_tpu.io.sam import iter_bam_reads_in_gene, open_alignments
+
+    # Gene spans come straight from the index's genes.gff (one text
+    # pass) -- unpickling every per-gene shelve entry just for its span
+    # made this O(genes) pickle loads.
+    genes_fname = os.path.join(gff_index_dir, "genes.gff")
+    spans = []
+    for rec in read_gff(genes_fname):
+        gid = rec.get_id()
+        if gid is not None:
+            spans.append((gid, rec.seqid, rec.start, rec.end))
 
     alignments = open_alignments(bam_filename)
     passing = []
-    for gene_id, fname in sorted(get_gene_ids_to_filenames(
-            gff_index_dir).items()):
-        gene = load_indexed_gene(fname)[gene_id]["gene_object"]
-        lo, hi = gene.genomic_span()
-        count = sum(1 for _ in fetch_bam_reads_in_gene(
-            alignments, gene.chrom, lo - 1, hi))
+    for gene_id, chrom, lo, hi in sorted(spans):
+        count = 0
+        # stop at the threshold: the filter only needs >= min_reads,
+        # not the exact coverage of deep genes
+        for _ in iter_bam_reads_in_gene(alignments, chrom, lo - 1, hi):
+            count += 1
+            if count >= min_reads:
+                break
         if count >= min_reads:
             passing.append(gene_id)
     return passing
