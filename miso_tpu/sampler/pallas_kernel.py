@@ -109,7 +109,8 @@ def _sampler_kernel(
     cfg: SamplerConfig,
     B: int, I: int, R: int,
 ):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    if not _DEBUG_NO_PRNG:  # no interpret rule for prng_seed on CPU
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     read_w = [read_w_ref[i] for i in range(I)]         # I x (R, B)
     read_ls = [read_logscore_ref[i] for i in range(I)]
@@ -198,9 +199,15 @@ def _sampler_kernel(
         else:
             prev_cnt = None
             for i in range(I):
+                # padded reads count into every cums >= u (0 >= 0), so
+                # they telescope out of every bin except bin 0; the last
+                # bin must end at n_valid - n_pad so the shared
+                # adjustments below (bin0 -= n_pad, last += n_pad) leave
+                # true counts -- using n_valid + n_pad here inflated the
+                # last isoform's final_n by the pad count
                 cnt = (jnp.sum(jnp.where(cums[i] >= u, 1.0, 0.0),
                                axis=0, keepdims=True) if i < I - 1
-                       else n_valid + n_pad)
+                       else (n_valid if I > 1 else n_valid + n_pad))
                 n_rows.append(cnt if prev_cnt is None else cnt - prev_cnt)
                 prev_cnt = cnt
         n_rows[0] = n_rows[0] - n_pad
@@ -341,10 +348,17 @@ def _block_events(E: int, R: int, K: int, I: int, RPAD: int) -> int:
     return be
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def run_batch_pallas(key, events: EventBatch,
-                     cfg: SamplerConfig) -> SamplerResult:
-    """Drop-in alternative to mcmc.run_batch (REASSIGN + per-read Gibbs)."""
+                     cfg: SamplerConfig,
+                     interpret: bool = False) -> SamplerResult:
+    """Drop-in alternative to mcmc.run_batch (REASSIGN + per-read Gibbs).
+
+    interpret=True runs the kernel in the Pallas interpreter (CPU) --
+    the Mosaic interpreter's prng_random_bits returns zeros, so this is
+    only meaningful together with MISO_PALLAS_NO_PRNG=1, which makes the
+    whole chain deterministic; used by the hermetic control-flow
+    regression test (tests/test_pallas_interpret.py)."""
     assert cfg.algorithm == "reassign"
     E, C, I = events.weights.shape
     R = events.read_w.shape[1]
@@ -415,6 +429,7 @@ def run_batch_pallas(key, events: EventBatch,
     psi_s, loglik, acc, final_n, final_psi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[

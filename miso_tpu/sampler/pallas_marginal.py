@@ -39,6 +39,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.scipy.special import gammaln
 
 from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, SamplerResult
+from miso_tpu.sampler import pallas_kernel as _pk
 from miso_tpu.sampler.pallas_kernel import _normal, _safe_log, _u01
 
 NEG_BIG = -1e30
@@ -64,7 +65,8 @@ def _marginal_kernel(
     cfg: SamplerConfig,
     B: int, I: int, C: int,
 ):
-    pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+    if not _pk._DEBUG_NO_PRNG:  # no interpret rule for prng_seed on CPU
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     w_iso = [w_ref[i] for i in range(I)]   # I x (C, B)
     counts = counts_ref[:]
@@ -215,10 +217,14 @@ def _block_events(E: int, K: int, I: int, RPAD: int) -> int:
     return be
 
 
-@functools.partial(jax.jit, static_argnames=("cfg",))
+@functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def run_batch_pallas_marginal(key, events: EventBatch,
-                              cfg: SamplerConfig) -> SamplerResult:
-    """Drop-in alternative to mcmc.run_batch for MARGINAL / CLASSES."""
+                              cfg: SamplerConfig,
+                              interpret: bool = False) -> SamplerResult:
+    """Drop-in alternative to mcmc.run_batch for MARGINAL / CLASSES.
+
+    interpret=True + MISO_PALLAS_NO_PRNG runs the deterministic chain in
+    the Pallas interpreter on CPU (tests/test_pallas_interpret.py)."""
     assert cfg.algorithm in ("marginal", "classes")
     E, C, I = events.weights.shape
     K = cfg.chains
@@ -287,6 +293,7 @@ def run_batch_pallas_marginal(key, events: EventBatch,
     psi_s, loglik, acc, final_psi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
+        interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         out_shape=[
