@@ -272,12 +272,58 @@ def read_gff(path: str) -> List[GFFRecord]:
     return records
 
 
+def _format_record_v1(rec: GFFRecord) -> str:
+    """gff_utils.py:888-899 _write_rec_v1: score defaults to '0', the
+    group column is the single free-text attribute."""
+    fields = [rec.seqid, rec.source, rec.type, str(rec.start),
+              str(rec.end),
+              "0" if rec.score is None else ("%g" % rec.score),
+              rec.strand or ".",
+              "." if rec.phase is None else str(rec.phase)]
+    group = rec.attributes.get("group")
+    if group:
+        fields.append(group[0])
+    return "\t".join(fields)
+
+
+def _format_record_v2(rec: GFFRecord, gtf: bool = False) -> str:
+    """gff_utils.py:901-946 _write_rec_v2/_write_rec_gtf: space-joined
+    `tag "value";` attributes; GTF forces gene_id/transcript_id."""
+    attrs = dict(rec.attributes)
+    if gtf:
+        for req in ("gene_id", "transcript_id"):
+            attrs.setdefault(req, [""])
+    fields = [rec.seqid, rec.source, rec.type, str(rec.start),
+              str(rec.end),
+              "." if rec.score is None else ("%g" % rec.score),
+              rec.strand or ".",
+              "." if rec.phase is None else str(rec.phase)]
+    if attrs:
+        fields.append(" ".join(
+            " ".join([tag] + ['"%s"' % v for v in values]) + ";"
+            for tag, values in attrs.items()))
+    return "\t".join(fields)
+
+
 def write_gff(records: Iterable[GFFRecord], path: str,
-              header: str = "##gff-version 3\n") -> None:
+              header: Optional[str] = None, version: str = "3") -> None:
+    """Write records in the requested dialect ('1', '2', '2.5'/'gtf',
+    '3'); parity: gff_utils.py:846-953 Writer's per-version writers."""
+    if header is None:
+        header = "##gff-version %s\n" % ("2" if version.lower() == "gtf"
+                                         else version)
+    if version == "1":
+        fmt = _format_record_v1
+    elif version == "2":
+        fmt = _format_record_v2
+    elif version.lower() in ("2.1", "2.2", "2.5", "gtf"):
+        fmt = lambda r: _format_record_v2(r, gtf=True)  # noqa: E731
+    else:
+        fmt = GFFRecord.to_line
     with open(path, "w") as f:
         f.write(header)
         for rec in records:
-            f.write(rec.to_line() + "\n")
+            f.write(fmt(rec) + "\n")
 
 
 class GFFDatabase:

@@ -317,3 +317,24 @@ def test_read_gff_v1_dialect(tmp_path):
     assert recs[0].attributes == {"group": ["my group text"]}
     assert recs[0].score == 0.5
     assert recs[1].attributes == {} and recs[1].phase == 0
+
+
+def test_write_gff_dialect_roundtrip(tmp_path):
+    """Writer emits v1/v2/GTF dialects that the Reader round-trips
+    (gff_utils.py:846-953)."""
+    from miso_tpu.io.gff import GFFRecord, read_gff, write_gff
+    rec = GFFRecord("chr1", "src", "exon", 100, 199, 0.5, "+", None,
+                    {"gene_id": ["g1"], "transcript_id": ["t1"]})
+    for version in ("2", "gtf"):
+        p = tmp_path / ("out_%s.gff" % version)
+        write_gff([rec], str(p), version=version)
+        back = read_gff(str(p))
+        # GTF-style records are converted to the gene hierarchy
+        exons = [r for r in back if r.type == "exon"]
+        assert exons[0].start == 100 and exons[0].end == 199
+    p1 = tmp_path / "out_v1.gff"
+    write_gff([GFFRecord("chr1", "src", "exon", 1, 9, None, "-", None,
+                         {"group": ["free text"]})], str(p1), version="1")
+    back = read_gff(str(p1))
+    assert back[0].attributes == {"group": ["free text"]}
+    assert back[0].score == 0.0  # v1 writes missing scores as '0'
