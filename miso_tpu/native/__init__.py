@@ -17,7 +17,9 @@ from typing import Optional
 import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
-_SRC = os.path.join(_DIR, "matchlib.cpp")
+_SRCS = [os.path.join(_DIR, "matchlib.cpp"),
+         os.path.join(_DIR, "bamlib.cpp")]
+_SRC = _SRCS[0]  # kept for older callers
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
 _TRIED = False
@@ -25,13 +27,13 @@ _TRIED = False
 
 def _so_path() -> str:
     tag = sysconfig.get_platform().replace("-", "_")
-    return os.path.join(_DIR, "libmisomatch_%s.so" % tag)
+    return os.path.join(_DIR, "libmisonative_%s.so" % tag)
 
 
 def _build(so_path: str) -> bool:
     cxx = os.environ.get("CXX", "c++")
-    cmd = [cxx, "-O2", "-shared", "-fPIC", "-std=c++17", _SRC,
-           "-o", so_path + ".tmp"]
+    cmd = [cxx, "-O2", "-shared", "-fPIC", "-std=c++17"] + _SRCS + [
+        "-o", so_path + ".tmp"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         os.replace(so_path + ".tmp", so_path)
@@ -52,9 +54,9 @@ def load() -> Optional[ctypes.CDLL]:
         if os.environ.get("MISO_NO_NATIVE") == "1":
             return None
         so = _so_path()
-        if not os.path.isfile(so) or (
-                os.path.isfile(_SRC) and
-                os.path.getmtime(_SRC) > os.path.getmtime(so)):
+        src_mtime = max(os.path.getmtime(s) for s in _SRCS
+                        if os.path.isfile(s))
+        if not os.path.isfile(so) or src_mtime > os.path.getmtime(so):
             if not _build(so):
                 return None
         try:
@@ -74,8 +76,84 @@ def load() -> Optional[ctypes.CDLL]:
         lib.miso_genomic_to_iso.restype = None
         lib.miso_genomic_to_iso.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        lib.miso_bam_scan.restype = ctypes.c_int64
+        lib.miso_bam_scan.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,  # buf
+            i64p,                                 # rec_off
+            i32p, i32p, i32p, i32p, i32p, i32p,   # fixed fields + ref_end
+            i64p, i32p,                           # qname off/len
+            ctypes.c_char_p, ctypes.c_int64, i64p,  # cigar buf/cap/off
+            ctypes.POINTER(ctypes.c_int64),       # consumed
+        ]
         _LIB = lib
         return _LIB
+
+
+class BamScan:
+    """Columnar result of one native scan over a decompressed window."""
+
+    __slots__ = ("n", "rec_off", "ref_id", "pos", "flag", "mapq", "l_seq",
+                 "ref_end", "qname_off", "qname_len", "cigar_buf",
+                 "cigar_off", "consumed")
+
+    def __init__(self, n, rec_off, ref_id, pos, flag, mapq, l_seq,
+                 ref_end, qname_off, qname_len, cigar_buf, cigar_off,
+                 consumed):
+        self.n = n
+        self.rec_off = rec_off
+        self.ref_id = ref_id
+        self.pos = pos
+        self.flag = flag
+        self.mapq = mapq
+        self.l_seq = l_seq
+        self.ref_end = ref_end
+        self.qname_off = qname_off
+        self.qname_len = qname_len
+        self.cigar_buf = cigar_buf
+        self.cigar_off = cigar_off
+        self.consumed = consumed
+
+    def cigar_str(self, i: int) -> str:
+        return self.cigar_buf[self.cigar_off[i]:
+                              self.cigar_off[i + 1]].decode()
+
+
+def bam_scan(buf, start: int = 0,
+             max_records: Optional[int] = None) -> Optional[BamScan]:
+    """Decode size-prefixed BAM records from a decompressed byte window
+    into columnar arrays; None if the native library is unavailable.
+    Raises ValueError on structurally corrupt records."""
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.frombuffer(buf, dtype=np.uint8)
+    n = buf.shape[0]
+    cap = max(max_records if max_records is not None
+              else (n - start) // 36 + 1, 1)
+    rec_off = np.empty(cap, np.int64)
+    i32 = lambda: np.empty(cap, np.int32)  # noqa: E731
+    ref_id, pos, flag, mapq, l_seq, ref_end = (
+        i32(), i32(), i32(), i32(), i32(), i32())
+    qname_off = np.empty(cap, np.int64)
+    qname_len = i32()
+    # 11 bytes/op worst case; records have >= 1 op slot each
+    cigar_cap = max(int(n - start) * 3 + 16, 1024)
+    cigar_buf = ctypes.create_string_buffer(cigar_cap)
+    cigar_off = np.empty(cap + 1, np.int64)
+    consumed = ctypes.c_int64(0)
+    cnt = lib.miso_bam_scan(
+        buf, n, start, cap, rec_off, ref_id, pos, flag, mapq, l_seq,
+        ref_end, qname_off, qname_len, cigar_buf, cigar_cap, cigar_off,
+        ctypes.byref(consumed))
+    if cnt < 0:
+        raise ValueError("corrupt BAM record in scan window")
+    return BamScan(int(cnt), rec_off[:cnt], ref_id[:cnt], pos[:cnt],
+                   flag[:cnt], mapq[:cnt], l_seq[:cnt], ref_end[:cnt],
+                   qname_off[:cnt], qname_len[:cnt],
+                   cigar_buf.raw, cigar_off[:cnt + 1],
+                   int(consumed.value))
 
 
 def match_iso_native(gene, positions: np.ndarray, cigars,

@@ -138,3 +138,55 @@ def test_atp2b1_fixture_fetch():
         want = sorted(map(_key, mem.fetch("10", 98377804, 98486420)))
         got = sorted(map(_key, idx.fetch("10", 98377804, 98486420)))
         assert want and got == want
+
+
+def test_native_scanner_matches_python_decoder(big_bam):
+    """The native columnar scanner and the Python record decoder produce
+    identical reads over the whole file."""
+    from miso_tpu.io.sam import _decode_bam_record
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(big_bam)
+    native_reads = [_key(r) for r in reader]
+    py_reads = [
+        _key(_decode_bam_record(rec, reader.references))
+        for rec in reader._records_from(reader._aln_voffset)]
+    assert len(native_reads) == len(py_reads) > 10000
+    assert native_reads == py_reads
+
+
+def test_native_index_matches_python_index(big_bam):
+    """Native (vectorized window) and Python (per-record) index builds
+    encode byte-identically."""
+    import io
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(big_bam)
+    nat = reader._build_index_native()
+    py = reader._build_index_py()
+    assert len(nat.bins) == len(py.bins)
+    for bn, bp in zip(nat.bins, py.bins):
+        assert bn == bp
+    assert nat.linear == py.linear
+
+
+def test_native_scan_batches_small_windows(big_bam):
+    """Records crossing window boundaries carry over correctly: tiny
+    windows give the same stream as one big window."""
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(big_bam)
+    big = []
+    for scan, voffs, _ in reader._scan_batches(reader._aln_voffset,
+                                               window_target=64 << 20):
+        big.extend(zip(scan.pos.tolist(), scan.ref_id.tolist(),
+                       voffs[:-1].tolist()))
+    small = []
+    for scan, voffs, _ in reader._scan_batches(reader._aln_voffset,
+                                               window_target=1):
+        small.extend(zip(scan.pos.tolist(), scan.ref_id.tolist(),
+                         voffs[:-1].tolist()))
+    assert big == small and len(big) > 10000
