@@ -45,9 +45,11 @@ _BAM_CIGAR_OPS = "MIDNSHP=X"
 _BAM_SEQ_CODES = "=ACMGRSVTWYHKDBN"
 
 
-@dataclass
+@dataclass(slots=True)
 class AlignedRead:
-    """Minimal aligned-read record (pysam.AlignedRead surface subset)."""
+    """Minimal aligned-read record (pysam.AlignedRead surface subset).
+    Slotted: readers materialize millions of these on genome-scale
+    catalogs."""
 
     qname: str
     flag: int
@@ -804,6 +806,51 @@ class IndexedBamReader:
                     return
                 if ref_end > start:
                     yield _decode_bam_record(rec, refs)
+
+    def fetch_columnar(self, chrom: str, start: int, end: int,
+                       given_read_len: Optional[int] = None):
+        """Single-end ingest fast path: (positions, cigars, num_reads)
+        for the region, skipping AlignedRead construction entirely.
+        Matches sam_parse_reads(single-end, fr-unstranded) exactly:
+        records with no CIGAR ('*') or a mismatched read length are
+        dropped.  Returns None when the native scanner is unavailable
+        (callers fall back to fetch + sam_parse_reads)."""
+        import numpy as np
+        if end <= start:
+            return (), (), 0
+        tid = self._ref_ids.get(chrom)
+        if tid is None:
+            raise KeyError(chrom)
+        assert self._index is not None
+        v0 = self._index.start_voffset(tid, start, end)
+        if v0 is None:
+            return (), (), 0
+        positions: List[int] = []
+        cigars: List[str] = []
+        try:
+            for scan, _voffs, _buf in self._scan_batches(v0,
+                                                         window_target=1):
+                ref = scan.ref_id
+                halt = np.flatnonzero(
+                    (ref > tid) | (ref < 0)
+                    | ((ref == tid) & (scan.pos >= end)))
+                stop = int(halt[0]) if halt.size else scan.n
+                sel = (ref[:stop] == tid) & (scan.ref_end[:stop] > start)
+                if given_read_len is not None:
+                    sel &= scan.l_seq[:stop] == given_read_len
+                co = scan.cigar_off
+                cbuf = scan.cigar_buf
+                for i in np.flatnonzero(sel):
+                    cg = cbuf[co[i]:co[i + 1]]
+                    if cg == b"*":
+                        continue
+                    positions.append(int(scan.pos[i]))
+                    cigars.append(cg.decode())
+                if stop < scan.n:
+                    break
+        except _NativeUnavailable:
+            return None
+        return tuple(positions), tuple(cigars), len(positions)
 
 
 # ---------------------------------------------------------------------- BAM

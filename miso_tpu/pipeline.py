@@ -380,6 +380,20 @@ def compute_all_genes_psi(
                       % out_path)
             return None
         lo, hi = gene.genomic_span()
+        unstranded = cfg.strand_rule in (None, "fr-unstranded")
+        if (not cfg.paired_end and unstranded
+                and hasattr(alignments, "fetch_columnar")):
+            # single-end columnar ingest: native batch decode straight
+            # to (positions, cigars), no per-read objects
+            col = None
+            try:
+                col = alignments.fetch_columnar(
+                    gene.chrom, lo - 1, hi,
+                    given_read_len=cfg.filter_read_len)
+            except KeyError:
+                pass  # chr-prefix fallback below
+            if col is not None:
+                return compile_gene_event(gene, out_name, col[:2], cfg)
         raw = sam_io.fetch_bam_reads_in_gene(
             alignments, gene.chrom, lo - 1, hi)
         reads, _ = sam_io.sam_parse_reads(

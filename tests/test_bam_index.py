@@ -190,3 +190,21 @@ def test_native_scan_batches_small_windows(big_bam):
         small.extend(zip(scan.pos.tolist(), scan.ref_id.tolist(),
                          voffs[:-1].tolist()))
     assert big == small and len(big) > 10000
+
+
+def test_fetch_columnar_matches_parse_reads(big_bam):
+    """The columnar single-end ingest equals fetch + sam_parse_reads."""
+    from miso_tpu.io.sam import sam_parse_reads
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(big_bam)
+    chrom = reader.references[1]
+    for (s, e), rl in [((0, 10 ** 9), None), ((1500, 5200), 36),
+                       ((1500, 5200), 35)]:
+        col = reader.fetch_columnar(chrom, s, e, given_read_len=rl)
+        (pos, cig), n = sam_parse_reads(reader.fetch(chrom, s, e),
+                                        given_read_len=rl)
+        assert col[2] == n
+        assert col[0] == pos and col[1] == cig
+    assert reader.fetch_columnar(chrom, 0, 10 ** 9)[2] > 1000
