@@ -193,6 +193,11 @@ def main(argv=None) -> int:
     p.add_argument("--votes", dest="votes", type=int, default=0,
                    help="Replicates that must pass the filters (and agree "
                         "in delta-psi direction) to keep an event.")
+    p.add_argument("--control", dest="control_filenames", nargs="+",
+                   default=[],
+                   help="Control comparison file(s).  Accepted for CLI "
+                        "parity; the reference parses but never uses "
+                        "this flag (misopy/filter_events.py:402-404).")
     p.add_argument("--output-dir", dest="output_dir", default=None)
     args = p.parse_args(argv)
     if not args.filter_filenames or args.output_dir is None:

@@ -27,15 +27,37 @@ def pack_dir(miso_output_dir: str) -> int:
     return n
 
 
+def view_db(db_fname: str) -> int:
+    """Print an event-name listing of a .miso_db file
+    (misopy/miso_pack.py:102-112)."""
+    from miso_tpu.io import miso_db
+    db_fname = os.path.abspath(os.path.expanduser(db_fname))
+    if not os.path.isfile(db_fname):
+        print("Error: %s does not exist." % db_fname, file=sys.stderr)
+        return 1
+    db = miso_db.MISODatabase(db_fname)
+    names = db.get_all_event_names()
+    print("Database contains %d events" % len(names))
+    for name in names:
+        print(name)
+    return 0
+
+
 def main(argv=None) -> int:
     p = argparse.ArgumentParser(prog="miso_pack")
     p.add_argument("--pack", dest="pack_dir", default=None,
                    help="MISO output directory to pack.")
+    p.add_argument("--view", dest="view_db", default=None,
+                   help="View a MISO database (.miso_db file).")
     args = p.parse_args(argv)
-    if args.pack_dir is None:
-        print("Need --pack MISO_OUTPUT_DIR", file=sys.stderr)
+    if args.pack_dir is None and args.view_db is None:
+        print("Need --pack MISO_OUTPUT_DIR or --view FILE.miso_db",
+              file=sys.stderr)
         return 1
-    pack_dir(os.path.abspath(os.path.expanduser(args.pack_dir)))
+    if args.pack_dir is not None:
+        pack_dir(os.path.abspath(os.path.expanduser(args.pack_dir)))
+    if args.view_db is not None:
+        return view_db(args.view_db)
     return 0
 
 

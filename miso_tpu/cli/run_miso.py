@@ -39,6 +39,9 @@ def build_parser():
     p.add_argument("--use-cluster", action="store_true", default=False)
     p.add_argument("--chunk-jobs", dest="chunk_jobs", default=None)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--view-gene", dest="view_gene", default=None,
+                   help="View the contents of an indexed gene/event "
+                        "(.pickle filename), as misopy/run_miso.py:391.")
     return p
 
 
@@ -86,6 +89,10 @@ def _run_genes(gene_entries, bam, output_dir, args):
 
 def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
+    if args.view_gene is not None:
+        from miso_tpu.cli.main import view_gene
+        view_gene(args.view_gene)
+        return 0
     if args.compute_gene_psi is not None:
         gene_ids, indexed_gff, bam, output_dir = args.compute_gene_psi
         if args.read_len is None:

@@ -51,6 +51,7 @@ TWO_PI = 2.0 * np.pi
 import os as _os
 _DEBUG_NO_RECORD = _os.environ.get("MISO_PALLAS_NO_RECORD") == "1"
 _DEBUG_NO_PRNG = _os.environ.get("MISO_PALLAS_NO_PRNG") == "1"
+_PRNG16 = _os.environ.get("MISO_PALLAS_PRNG32") != "1"
 
 
 def _u01(shape):
@@ -59,6 +60,34 @@ def _u01(shape):
         return jnp.full(shape, 0.4999, jnp.float32)
     bits = pltpu.prng_random_bits(shape)
     return (bits & 0x7FFFFF).astype(jnp.float32) * (2.0 ** -23)
+
+
+def _u01_reads(R, B):
+    """(R, B) uniforms in (0, 1) for the per-read Gibbs draws.
+
+    16-bit resolution: two reads share one int32 from the on-core PRNG,
+    halving the per-iteration bit generation.  The category boundaries
+    quantize at 2^-16 -- per-read assignment bias <= 2^-16, far below
+    the Monte-Carlo noise floor (validated against the grid-exact
+    posterior oracle, tests/test_pallas.py).  The MH-accept and
+    Box-Muller draws stay 23-bit (they feed log()).
+
+    The |1 pins the low bit so u > 0 strictly: a u == 0 draw would land
+    reads on leading zero-weight isoforms (cums == 0 >= 0), and folding
+    the guard into the integer mask saves the separate maximum() pass
+    over the (R, B) tile."""
+    if _DEBUG_NO_PRNG:
+        return jnp.full((R, B), 0.4999, jnp.float32)
+    if not _PRNG16 or R < 2:
+        bits = pltpu.prng_random_bits((R, B))
+        return ((bits & 0x7FFFFE) | 1).astype(jnp.float32) * (2.0 ** -23)
+    H = (R + 1) // 2
+    bits = pltpu.prng_random_bits((H, B))
+    # arithmetic >> floods the sign bit on int32; the & masks it off
+    u = jnp.concatenate([(bits & 0xFFFE) | 1,
+                         (bits >> 16) & 0xFFFF | 1], axis=0)
+    u = u.astype(jnp.float32) * (2.0 ** -16)
+    return u if 2 * H == R else u[:R]
 
 
 def _normal(shape):
@@ -112,7 +141,11 @@ def _sampler_kernel(
     if not _DEBUG_NO_PRNG:  # no interpret rule for prng_seed on CPU
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
-    read_w = [read_w_ref[i] for i in range(I)]         # I x (R, B)
+    read_w_plain = [read_w_ref[i] for i in range(I)]   # I x (R, B)
+
+    def read_w_i(i):
+        return read_w_plain[i]
+
     read_ls = [read_logscore_ref[i] for i in range(I)]
     amask = amask_ref[:]
     iso_mask = iso_mask_ref[:]
@@ -161,9 +194,9 @@ def _sampler_kernel(
     # strictly positive, so total weight > 0 iff any compatible isoform
     # has nonzero weight.  Every valid read is always assigned, so the
     # last isoform's one-hot/count telescopes from the total.
-    valid_sum = read_w[0]
+    valid_sum = read_w_i(0)
     for i in range(1, I):
-        valid_sum = valid_sum + read_w[i]
+        valid_sum = valid_sum + read_w_i(i)
     valid_f = jnp.where(valid_sum > 0, 1.0, 0.0)          # (R, B)
     n_valid = jnp.sum(valid_f, axis=0, keepdims=True)     # (1, B)
     n_pad = float(R) - n_valid                            # (1, B) static
@@ -180,10 +213,10 @@ def _sampler_kernel(
         cums = []
         acc = None
         for i in range(I):
-            rw_i = read_w[i] * psi[i:i + 1]
+            rw_i = read_w_i(i) * psi[i:i + 1]
             acc = rw_i if acc is None else acc + rw_i
             cums.append(acc)
-        u = jnp.maximum(_u01((R, B)), 2.0 ** -24) * acc
+        u = _u01_reads(R, B) * acc
         n_rows = []
         read_prob = jnp.zeros((1, B), jnp.float32)
         if compute_rp:
@@ -388,7 +421,13 @@ def run_batch_pallas(key, events: EventBatch,
         x = jnp.repeat(x, K, axis=0)
         return jnp.moveaxis(x, 0, -1)
 
-    # (E, R, I) -> (I, R, E*K)
+    # (E, R, I) -> (I, R, E*K) weight tiles, upcast to f32 HERE (storage
+    # and host transfer stay bf16).  Measured dead ends on the tile
+    # layout (the kernel is VPU-throughput-bound, NOT VMEM-load-bound):
+    # bf16-dtype tiles 13.5k events/s (per-iteration convert pass),
+    # bf16-pair-packed int32 tiles + in-kernel mask/shift unpack 13.4k,
+    # f32 tiles 14.5k.  Doubling the block (B=1536) is throughput-
+    # neutral, confirming saturation rather than latency binding.
     read_w = to_lanes(jnp.swapaxes(events.read_w.astype(f32), 1, 2))
     read_ls = to_lanes(jnp.swapaxes(events.read_logscore.astype(f32), 1, 2))
     log_iso_w_t = to_lanes(events.log_iso_w.astype(f32))

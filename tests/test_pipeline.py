@@ -182,6 +182,23 @@ def test_pack_and_db_read(workdir, run_output):
     assert sorted(obj.all_event_names) == sorted(names_before)
     data = obj.get_event_samples(names_before[0])
     assert data is not None and data.samples.shape[1] == 2
+    # miso_pack --view lists the database's event names
+    # (misopy/miso_pack.py:102-112)
+    from miso_tpu.cli.pack import main as pack_main
+    out = capsys_run(pack_main,
+                     ["--view", os.path.join(packed, "10.miso_db")])
+    assert "Database contains %d events" % len(names_before) in out
+    for name in names_before:
+        assert name in out
+
+
+def capsys_run(fn, argv):
+    import contextlib
+    import io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        assert fn(argv) == 0
+    return buf.getvalue()
 
 
 def test_catalog_end_to_end(tmp_path):
