@@ -164,6 +164,13 @@ def multi_filter(
         for ev in evs:
             bfv = bayes_factor_votes(ev, bf_filter)
             dpv = delta_psi_votes(ev, delta_psi_filter)
+            if bf_sum and (len(bfv) != len(bf_sum)
+                           or len(dpv) != len(dp_sum)):
+                # zip() would silently vote over the common prefix
+                raise ValueError(
+                    "Event %s has inconsistent isoform counts across "
+                    "replicate .miso_bf tables (%d vs %d Bayes factors)"
+                    % (name, len(bf_sum), len(bfv)))
             bf_sum = ([a + b for a, b in zip(bf_sum, bfv)]
                       if bf_sum else bfv)
             dp_sum = ([a + b for a, b in zip(dp_sum, dpv)]

@@ -312,14 +312,21 @@ def write_gff(records: Iterable[GFFRecord], path: str,
     if header is None:
         header = "##gff-version %s\n" % ("2" if version.lower() == "gtf"
                                          else version)
-    if version == "1":
+    v = str(version).strip().lower()
+    # normalize the 'N.0' spellings a ##gff-version directive round-trips
+    v = {"1.0": "1", "2.0": "2", "3.0": "3"}.get(v, v)
+    if v == "1":
         fmt = _format_record_v1
-    elif version == "2":
+    elif v == "2":
         fmt = _format_record_v2
-    elif version.lower() in ("2.1", "2.2", "2.5", "gtf"):
+    elif v in ("2.1", "2.2", "2.5", "gtf"):
         fmt = lambda r: _format_record_v2(r, gtf=True)  # noqa: E731
-    else:
+    elif v == "3":
         fmt = GFFRecord.to_line
+    else:
+        # the reference Writer raises on unknown versions
+        # (gff_utils.py:864-865) rather than silently mixing dialects
+        raise ValueError("Unrecognized GFF version: %s" % version)
     with open(path, "w") as f:
         f.write(header)
         for rec in records:

@@ -13,8 +13,8 @@ pysam is replaced by a from-scratch reader:
   decompresses only the BGZF blocks a region's chunks cover, so
   genome-scale BAMs never need to fit in RAM.  If no `.bai` exists, one
   is built by a single streaming pass and persisted next to the BAM
-  (samtools-compatible).  Small files without an index fall back to the
-  in-memory reader.
+  (samtools-compatible); if the directory is read-only, the built index
+  is kept in memory for the reader's lifetime instead.
 
 Positions are 0-based here (as in pysam); the pipeline shifts +1 before
 matching, mirroring misopy/miso_sampler.py:284.
@@ -788,8 +788,12 @@ class IndexedBamReader:
                     (ref > tid) | (ref < 0)
                     | ((ref == tid) & (scan.pos >= end)))
                 stop = int(halt[0]) if halt.size else scan.n
+                # skip placed-unmapped records (FLAG 0x4 with RNAME/POS
+                # copied from the mapped mate), as the in-memory
+                # reader's _RegionIndex does
                 sel = np.flatnonzero((ref[:stop] == tid)
-                                     & (scan.ref_end[:stop] > start))
+                                     & (scan.ref_end[:stop] > start)
+                                     & ((scan.flag[:stop] & FUNMAP) == 0))
                 for i in sel:
                     yield self._read_from_scan(scan, buf, int(i))
                 if stop < scan.n:
@@ -805,7 +809,9 @@ class IndexedBamReader:
                 if pos >= end:
                     return
                 if ref_end > start:
-                    yield _decode_bam_record(rec, refs)
+                    read = _decode_bam_record(rec, refs)
+                    if not read.is_unmapped:
+                        yield read
 
     def fetch_columnar(self, chrom: str, start: int, end: int,
                        given_read_len: Optional[int] = None):
@@ -835,7 +841,8 @@ class IndexedBamReader:
                     (ref > tid) | (ref < 0)
                     | ((ref == tid) & (scan.pos >= end)))
                 stop = int(halt[0]) if halt.size else scan.n
-                sel = (ref[:stop] == tid) & (scan.ref_end[:stop] > start)
+                sel = ((ref[:stop] == tid) & (scan.ref_end[:stop] > start)
+                       & ((scan.flag[:stop] & FUNMAP) == 0))
                 if given_read_len is not None:
                     sel &= scan.l_seq[:stop] == given_read_len
                 co = scan.cigar_off
@@ -933,20 +940,7 @@ class BamReader:
             block_size = struct.unpack_from("<i", data, off)[0]
             rec = data[off + 4:off + 4 + block_size]
             off += 4 + block_size
-            (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag,
-             l_seq, _next_ref, _next_pos, _tlen) = struct.unpack_from(
-                 "<iiBBHHHiiii", rec, 0)
-            p = 32
-            qname = rec[p:p + l_read_name - 1].decode()
-            p += l_read_name
-            cigar_ops = struct.unpack_from("<%dI" % n_cigar_op, rec, p)
-            p += 4 * n_cigar_op
-            cigar = "".join(
-                "%d%s" % (op >> 4, _BAM_CIGAR_OPS[op & 0xF])
-                for op in cigar_ops) or "*"
-            rname = refs[ref_id] if 0 <= ref_id < len(refs) else "*"
-            yield AlignedRead(qname=qname, flag=flag, rname=rname, pos=pos,
-                              mapq=mapq, cigar_str=cigar, rlen=l_seq)
+            yield _decode_bam_record(rec, refs)
 
     def fetch(self, chrom: str, start: int, end: int
               ) -> Iterator[AlignedRead]:

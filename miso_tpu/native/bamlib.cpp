@@ -79,10 +79,7 @@ int64_t miso_bam_scan(
     int64_t cpos = 0;
     while (count < max_records && off + 4 <= n) {
         const int64_t rec_sz = rd_i32(buf + off);
-        if (rec_sz < 32) {
-            if (rec_sz < 0) return -1;
-            return -1;  // below the fixed-field size: corrupt
-        }
+        if (rec_sz < 32) return -1;  // below the fixed-field size: corrupt
         if (off + 4 + rec_sz > n) break;  // incomplete: next window
         const uint8_t* r = buf + off + 4;
         const int32_t l_read_name = r[8];

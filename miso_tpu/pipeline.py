@@ -202,22 +202,45 @@ def run_events(
             if deep:
                 sampler_cfg = dataclasses.replace(sampler_cfg_base,
                                                   gibbs="multinomial")
-            key = jax.random.fold_in(jax.random.PRNGKey(seed), lo + pad_iso
-                                     * 131071 + pad_classes * 8191)
+            # key mixing must include EVERY bucket-shape axis: buckets
+            # differing only in pad_reads would otherwise replay
+            # identical per-(event, chain) random streams, correlating
+            # Monte-Carlo error across the catalog
+            key = jax.random.fold_in(
+                jax.random.fold_in(jax.random.PRNGKey(seed),
+                                   lo + pad_iso * 131071
+                                   + pad_classes * 8191),
+                pad_reads)
+            start_psi = None
+            if cfg.start == "linear":
+                from miso_tpu.core.assignment import linear_start_psi
+                I_pad = batch.weights.shape[2]
+                sp = np.zeros((len(evs), cfg.chains, I_pad), np.float32)
+                for j, ev in enumerate(evs):
+                    try:
+                        expr = linear_start_psi(ev, cfg.read_len,
+                                                cfg.overhang_len)
+                    except Exception:
+                        expr = np.full(ev.num_iso, 1.0 / ev.num_iso)
+                    sp[j, :, :ev.num_iso] = expr[None, :]
+                start_psi = sp
             if cfg.stop == "convergent":
                 # R-hat <= 1.1 adaptive stopping (miso.c:903-928): only
                 # unconverged events re-run, with extended schedules
                 from miso_tpu.sampler.mcmc import run_batch_convergent
                 conv_res, _ = run_batch_convergent(
                     key, batch, sampler_cfg, max_iters=cfg.max_iters,
-                    mesh=mesh)
+                    mesh=mesh, start_psi=start_psi)
                 for j, i in enumerate(chunk):
                     r = conv_res[j]
                     k = events[i].num_iso
                     fn = r["final_n"][0, :k]
                     if cfg.algorithm != "reassign":
+                        # final assignment pass from the END-OF-CHAIN
+                        # psi (chain 0), as in the fixed-stop path
+                        # (miso.c:935-947)
                         fn = events[i].final_assignment_counts(
-                            r["samples"][-1, :k])
+                            r["final_psi"][0, :k])
                     out[i] = {
                         "samples": r["samples"][:, :k],
                         "loglik": r["loglik"],
@@ -235,19 +258,6 @@ def run_events(
                         "events_per_s": len(chunk) / max(dt, 1e-9),
                         "stop": "convergent"})
                 continue
-            start_psi = None
-            if cfg.start == "linear":
-                from miso_tpu.core.assignment import linear_start_psi
-                I_pad = batch.weights.shape[2]
-                sp = np.zeros((len(evs), cfg.chains, I_pad), np.float32)
-                for j, ev in enumerate(evs):
-                    try:
-                        expr = linear_start_psi(ev, cfg.read_len,
-                                                cfg.overhang_len)
-                    except Exception:
-                        expr = np.full(ev.num_iso, 1.0 / ev.num_iso)
-                    sp[j, :, :ev.num_iso] = expr[None, :]
-                start_psi = sp
             backend = cfg.backend
             if backend == "auto":
                 # measured on v5e at E=2048: fused Pallas kernels beat the

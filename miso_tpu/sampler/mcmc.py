@@ -145,6 +145,7 @@ def run_batch_convergent(
     max_iters: int = 500000,
     rhat_threshold: float = 1.1,
     mesh=None,
+    start_psi=None,
 ):
     """Convergent-mean stopping with adaptive extension.
 
@@ -167,7 +168,11 @@ def run_batch_convergent(
     iters_used = np.zeros(E, dtype=np.int64)
     remaining = np.arange(E)
     cur_cfg = cfg
-    start_psi = None
+    # round 0 honors a caller-provided start (e.g. the NNLS linear
+    # start, MISO_START_LINEAR); continuation rounds overwrite it with
+    # each event's final chain state
+    start_psi = None if start_psi is None else np.asarray(start_psi,
+                                                          np.float32)
     round_i = 0
     while len(remaining):
         sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
@@ -195,13 +200,14 @@ def run_batch_convergent(
         acc = np.asarray(res.accepted)
         rej = np.asarray(res.rejected)
         fn = np.asarray(res.final_n)
+        fpsi = np.asarray(res.final_psi)
         for j, e in enumerate(remaining):
             iters_used[e] = cur_cfg.iters
             if conv[j]:
                 results[e] = {
                     "samples": flat[j], "loglik": ll[j],
                     "accepted": acc[j], "rejected": rej[j],
-                    "final_n": fn[j],
+                    "final_n": fn[j], "final_psi": fpsi[j],
                     "iters": cur_cfg.iters, "burn_in": cur_cfg.burn_in,
                 }
         new_remaining = remaining[~conv]

@@ -233,18 +233,21 @@ def _sampler_kernel(
             prev_cnt = None
             for i in range(I):
                 # padded reads count into every cums >= u (0 >= 0), so
-                # they telescope out of every bin except bin 0; the last
-                # bin must end at n_valid - n_pad so the shared
-                # adjustments below (bin0 -= n_pad, last += n_pad) leave
-                # true counts -- using n_valid + n_pad here inflated the
-                # last isoform's final_n by the pad count
+                # they telescope out of every bin except bin 0 (hence
+                # the bin0 -= n_pad below); the last bin ends at the
+                # TRUE total n_valid, so its telescoped difference is
+                # short by the pad count the previous cumsum included
+                # (hence last += n_pad) -- using n_valid + n_pad here
+                # inflated the last isoform's final_n by the pad count
                 cnt = (jnp.sum(jnp.where(cums[i] >= u, 1.0, 0.0),
                                axis=0, keepdims=True) if i < I - 1
-                       else (n_valid if I > 1 else n_valid + n_pad))
+                       else n_valid)
                 n_rows.append(cnt if prev_cnt is None else cnt - prev_cnt)
                 prev_cnt = cnt
-        n_rows[0] = n_rows[0] - n_pad
+        # no adjustment for I == 1: both branches produce n_valid
+        # directly (the single bin has no pad-polluted predecessor)
         if len(n_rows) > 1:
+            n_rows[0] = n_rows[0] - n_pad
             n_rows[-1] = n_rows[-1] + n_pad
         return jnp.concatenate(n_rows, axis=0), read_prob
 

@@ -208,3 +208,29 @@ def test_fetch_columnar_matches_parse_reads(big_bam):
         assert col[2] == n
         assert col[0] == pos and col[1] == cig
     assert reader.fetch_columnar(chrom, 0, 10 ** 9)[2] > 1000
+
+
+def test_fetch_skips_placed_unmapped(tmp_path):
+    """Placed-unmapped records (FLAG 0x4 with RNAME/POS copied from the
+    mapped mate, CIGAR '*') must not surface from region fetches, as in
+    the in-memory reader's _RegionIndex -- they would otherwise count
+    toward the --prefilter coverage threshold."""
+    from miso_tpu.io.sam import AlignedRead, write_bam
+
+    reads = [
+        AlignedRead(qname="m%d" % i, flag=0, rname="chrZ", pos=100 + i,
+                    mapq=60, cigar_str="36M", rlen=36)
+        for i in range(5)
+    ] + [
+        AlignedRead(qname="u%d" % i, flag=0x4, rname="chrZ", pos=102 + i,
+                    mapq=0, cigar_str="*", rlen=36)
+        for i in range(3)
+    ]
+    reads.sort(key=lambda r: r.pos)
+    path = str(tmp_path / "mix.bam")
+    write_bam(path, ["chrZ"], [10000], reads)
+    idx = IndexedBamReader(path)
+    got = list(idx.fetch("chrZ", 0, 1000))
+    assert sorted(r.qname for r in got) == ["m%d" % i for i in range(5)]
+    col = idx.fetch_columnar("chrZ", 0, 1000)
+    assert col is None or col[2] == 5
