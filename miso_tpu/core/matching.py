@@ -197,9 +197,24 @@ def collapse_to_classes(
             counts=np.zeros((0,)),
             frag_len=None if frag_len is None else np.zeros((noiso, 0), np.int64),
         )
+    if frag_len is None and noiso <= 62:
+        mb = match > 0
+        if not np.logical_or(match == 0.0, mb & (match == 1.0)).all():
+            mb = None  # non-binary single-end weights: generic path
+        if mb is not None:
+            # bitmask class keys (isoform 0 most significant, so the
+            # ascending 1-D unique matches the lexicographic order the
+            # axis-unique below produces): ~4x faster than the 2-D
+            # void-view sort inside np.unique(axis=0)
+            pow2 = 1 << np.arange(noiso - 1, -1, -1, dtype=np.int64)
+            _, first_idx, counts = np.unique(
+                pow2 @ mb, return_index=True, return_counts=True)
+            return ReadClasses(
+                templates=match[:, first_idx],
+                counts=counts.astype(np.float64), frag_len=None)
     key = match if frag_len is None else np.concatenate([match, frag_len], axis=0)
-    _, first_idx, inv, counts = np.unique(
-        key.T, axis=0, return_index=True, return_inverse=True, return_counts=True
+    _, first_idx, counts = np.unique(
+        key.T, axis=0, return_index=True, return_counts=True
     )
     templates = match[:, first_idx]
     fl = None if frag_len is None else frag_len[:, first_idx]
