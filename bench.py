@@ -24,7 +24,7 @@ def build_catalog(num_events, reads_per_event=200, seed=0,
     """Compile the event catalog and bucket it by padded shape exactly
     as the production pipeline does (pipeline.run_events ->
     core/events.bucket_events): 2-isoform events run as I=2 batches,
-    3-isoform as I=4.  Returns a list of EventBatch buckets."""
+    3-isoform as I=3.  Returns a list of EventBatch buckets."""
     from miso_tpu.core.events import (bucket_events, compile_single_end,
                                       pad_events)
     from miso_tpu.core.gene import make_gene

@@ -117,6 +117,18 @@ def compile_single_end(
     templates = classes.templates  # (I, C)
     weights = templates.T.astype(np.float64).copy()  # (C, I)
     counts = classes.counts.astype(np.float64)
+    # Drop the all-incompatible class from the DEVICE tensors: the
+    # reference assigns those reads -1 and they contribute nothing to
+    # any score (miso.c:65-66 noValid==0); keeping them as zero-weight
+    # rows is statistically inert (masked in every kernel) but inflates
+    # the per-read tile R and breaks the grid-exact oracle.  The header
+    # `counts=` field keeps ALL classes (counts_str uses self.classes),
+    # matching the reference output (miso_sampler.py:404-422).
+    compat = weights.any(axis=1)
+    if not compat.all():
+        weights = weights[compat]
+        counts = counts[compat]
+        templates = templates[:, compat]
     if algorithm == "marginal":
         # match probabilities divided by effective length (miso.c:807-815)
         div = np.where(efflen != 0, efflen, 1).astype(np.float64)
@@ -195,6 +207,14 @@ def compile_paired_end(
 
     templates = classes.templates.T  # (C, I) fragment-length probabilities
     fl = classes.frag_len.T          # (C, I)
+    counts = classes.counts.astype(np.float64)
+    # drop the all-incompatible class from device tensors (see the
+    # single-end counterpart above; miso.c:65-66)
+    compat = templates.any(axis=1)
+    if not compat.all():
+        templates = templates[compat]
+        fl = fl[compat]
+        counts = counts[compat]
     valid = fl >= 0
     fl_idx = np.clip(fl - frag_start, 0, il - 1)
     log_read = np.where(valid, isoscores[fl_idx, np.arange(noiso)[None, :]], 0.0)
@@ -205,7 +225,7 @@ def compile_paired_end(
     return CompiledEvent(
         name=name, gene=gene, num_iso=noiso, num_reads=len(positions) // 2,
         weights=templates.astype(np.float64), log_read=log_read,
-        counts=classes.counts.astype(np.float64),
+        counts=counts,
         log_iso_w=assscores, hyper=np.asarray(hyper, dtype=np.float64),
         classes=classes, paired=True,
         any_compatible=bool((match > 0).any()),

@@ -543,6 +543,7 @@ class IndexedBamReader:
         from miso_tpu import native
         if native.load() is None:
             raise _NativeUnavailable()
+        base_target = window_target
         next_c = voffset >> 16
         skip = voffset & 0xFFFF
         window = bytearray()
@@ -579,7 +580,10 @@ class IndexedBamReader:
             if scan.n == 0:
                 if eof:
                     return
-                window_target *= 2  # one record larger than the window
+                # one record larger than the window: grow relative to the
+                # current window (the carried tail may already exceed the
+                # base target) so each retry admits new blocks
+                window_target = max(window_target, len(window)) * 2
                 continue
             starts_arr = np.array(starts + [len(buf)], np.int64)
             coffs_arr = np.array(coffs + [next_c], np.int64)
@@ -588,6 +592,7 @@ class IndexedBamReader:
             j = np.searchsorted(starts_arr, offs, side="right") - 1
             voffs = (coffs_arr[j] << 16) | (offs - starts_arr[j])
             yield scan, voffs, buf
+            window_target = base_target  # drop any oversized-record growth
             if eof and scan.consumed >= len(buf):
                 return
             # carry the tail: keep blocks not fully consumed

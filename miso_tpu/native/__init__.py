@@ -152,7 +152,8 @@ def bam_scan(buf, start: int = 0,
     return BamScan(int(cnt), rec_off[:cnt], ref_id[:cnt], pos[:cnt],
                    flag[:cnt], mapq[:cnt], l_seq[:cnt], ref_end[:cnt],
                    qname_off[:cnt], qname_len[:cnt],
-                   cigar_buf.raw, cigar_off[:cnt + 1],
+                   cigar_buf.raw[:int(cigar_off[cnt]) if cnt > 0 else 0],
+                   cigar_off[:cnt + 1],
                    int(consumed.value))
 
 

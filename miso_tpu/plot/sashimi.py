@@ -39,14 +39,15 @@ def reads_to_wiggle(reads, start: int, end: int
     for read in reads:
         if read.cigar is None:
             continue
-        # aligned (reference-consuming, non-N) length for the 1/qlen weight
+        # query-alignment length for the 1/qlen weight: pysam read.qlen
+        # counts query-consuming aligned ops (M/I/=/X, not soft clips)
         qlen = 0
         num = ""
         for ch in read.cigar_str:
             if ch.isdigit():
                 num += ch
             else:
-                if ch in "M=X":
+                if ch in "MI=X":
                     qlen += int(num)
                 num = ""
         if qlen == 0:

@@ -66,10 +66,11 @@ def _u01_reads(R, B):
     """(R, B) uniforms in (0, 1) for the per-read Gibbs draws.
 
     16-bit resolution: two reads share one int32 from the on-core PRNG,
-    halving the per-iteration bit generation.  The category boundaries
-    quantize at 2^-16 -- per-read assignment bias <= 2^-16, far below
-    the Monte-Carlo noise floor (validated against the grid-exact
-    posterior oracle, tests/test_pallas.py).  The MH-accept and
+    halving the per-iteration bit generation.  Pinning the low bit
+    leaves 15 free bits, so the category boundaries quantize at 2^-15
+    -- per-read assignment bias <= 2^-15, far below the Monte-Carlo
+    noise floor (validated against the grid-exact posterior oracle,
+    tests/test_pallas.py).  The MH-accept and
     Box-Muller draws stay 23-bit (they feed log()).
 
     The |1 pins the low bit so u > 0 strictly: a u == 0 draw would land
