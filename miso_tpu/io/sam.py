@@ -819,16 +819,27 @@ class IndexedBamReader:
                         yield read
 
     def fetch_columnar(self, chrom: str, start: int, end: int,
-                       given_read_len: Optional[int] = None):
+                       given_read_len: Optional[int] = None,
+                       strand_rule: Optional[str] = None,
+                       target_strand: Optional[str] = None):
         """Single-end ingest fast path: (positions, cigars, num_reads)
         for the region, skipping AlignedRead construction entirely.
-        Matches sam_parse_reads(single-end, fr-unstranded) exactly:
-        records with no CIGAR ('*') or a mismatched read length are
-        dropped.  Returns None when the native scanner is unavailable
-        (callers fall back to fetch + sam_parse_reads)."""
+        Matches sam_parse_reads(single-end) exactly: records with no
+        CIGAR ('*') or a mismatched read length are dropped, and
+        fr-firststrand keeps only reads on `target_strand`
+        (read_matches_strand semantics, sam_utils.py:313-350).  Returns
+        None when the native scanner is unavailable (callers fall back
+        to fetch + sam_parse_reads)."""
         import numpy as np
         if end <= start:
             return (), (), 0
+        check_strand = not (strand_rule is None
+                            or strand_rule == "fr-unstranded"
+                            or target_strand is None)
+        if check_strand and strand_rule != "fr-firststrand":
+            raise ValueError("Unknown strandedness rule."
+                             if strand_rule != "fr-secondstrand"
+                             else "fr-secondstrand currently unsupported.")
         tid = self._ref_ids.get(chrom)
         if tid is None:
             raise KeyError(chrom)
@@ -850,6 +861,9 @@ class IndexedBamReader:
                        & ((scan.flag[:stop] & FUNMAP) == 0))
                 if given_read_len is not None:
                     sel &= scan.l_seq[:stop] == given_read_len
+                if check_strand:
+                    rev = (scan.flag[:stop] & FREVERSE) != 0
+                    sel &= rev if target_strand == "-" else ~rev
                 co = scan.cigar_off
                 cbuf = scan.cigar_buf
                 for i in np.flatnonzero(sel):
@@ -863,6 +877,108 @@ class IndexedBamReader:
         except _NativeUnavailable:
             return None
         return tuple(positions), tuple(cigars), len(positions)
+
+    def fetch_columnar_paired(self, chrom: str, start: int, end: int,
+                              given_read_len: Optional[int] = None,
+                              strand_rule: Optional[str] = None,
+                              target_strand: Optional[str] = None):
+        """Paired-end ingest fast path: mates are paired by qname in
+        C++ (native.pair_qnames) over the columnar scan -- no per-read
+        Python objects, no Python dict.  Returns (positions, cigars,
+        num_pairs) with mates interleaved (2r, 2r+1), exactly matching
+        sam_parse_reads(paired_end=True):
+
+        - qcfail / unmapped / mate-unmapped / non-paired records never
+          pair (pair_sam_reads filter_reads, sam_utils.py:218-226);
+        - only names seen exactly twice pair (dict semantics);
+        - same-strand pairs are dropped (sam_utils.py:276-283);
+        - fr-firststrand puts the forward-strand mate first (the
+          reference's two-swap composition, see pair_sam_reads), after
+          which the reference's strand check passes every surviving
+          pair; otherwise mates keep file (first-seen) order;
+        - pairs with a '*' CIGAR or a mismatched read length drop.
+
+        Returns None when the native scanner/pairer is unavailable.
+        """
+        import numpy as np
+
+        from miso_tpu import native
+        if end <= start:
+            return (), (), 0
+        if strand_rule == "fr-secondstrand":
+            raise ValueError("fr-secondstrand currently unsupported.")
+        tid = self._ref_ids.get(chrom)
+        if tid is None:
+            raise KeyError(chrom)
+        assert self._index is not None
+        v0 = self._index.start_voffset(tid, start, end)
+        if v0 is None:
+            return (), (), 0
+        pos_l: List[np.ndarray] = []
+        flag_l: List[np.ndarray] = []
+        lseq_l: List[np.ndarray] = []
+        qn_l: List[bytes] = []
+        cg_l: List[bytes] = []
+        try:
+            for scan, _voffs, buf in self._scan_batches(v0,
+                                                        window_target=1):
+                ref = scan.ref_id
+                halt = np.flatnonzero(
+                    (ref > tid) | (ref < 0)
+                    | ((ref == tid) & (scan.pos >= end)))
+                stop = int(halt[0]) if halt.size else scan.n
+                fl = scan.flag[:stop]
+                sel = ((ref[:stop] == tid) & (scan.ref_end[:stop] > start)
+                       & ((fl & (FUNMAP | FMUNMAP | FQCFAIL)) == 0)
+                       & ((fl & FPAIRED) != 0))
+                idxs = np.flatnonzero(sel)
+                co = scan.cigar_off
+                cbuf = scan.cigar_buf
+                qo = scan.qname_off
+                ql = scan.qname_len
+                for i in idxs:
+                    qn_l.append(buf[qo[i]:qo[i] + ql[i]])
+                    cg_l.append(cbuf[co[i]:co[i + 1]])
+                pos_l.append(scan.pos[idxs])
+                flag_l.append(fl[idxs])
+                lseq_l.append(scan.l_seq[idxs])
+                if stop < scan.n:
+                    break
+        except _NativeUnavailable:
+            return None
+        if not qn_l:
+            return (), (), 0
+        pos = np.concatenate(pos_l)
+        flag = np.concatenate(flag_l)
+        lseq = np.concatenate(lseq_l)
+        qlen = np.array([len(x) for x in qn_l], np.int32)
+        qoff = np.zeros(len(qn_l), np.int64)
+        np.cumsum(qlen[:-1], out=qoff[1:])
+        partner = native.pair_qnames(b"".join(qn_l), qoff, qlen)
+        if partner is None:
+            return None
+        first = np.flatnonzero(partner > np.arange(len(partner)))
+        second = partner[first]
+        rev1 = (flag[first] & FREVERSE) != 0
+        rev2 = (flag[second] & FREVERSE) != 0
+        keep = rev1 != rev2  # drop same-strand pairs
+        if given_read_len is not None:
+            keep &= ((lseq[first] == given_read_len)
+                     & (lseq[second] == given_read_len))
+        first, second, rev1 = first[keep], second[keep], rev1[keep]
+        if strand_rule == "fr-firststrand":
+            # forward-strand mate first (see docstring)
+            first, second = (np.where(rev1, second, first),
+                             np.where(rev1, first, second))
+        positions: List[int] = []
+        cigars: List[str] = []
+        for i, j in zip(first, second):
+            c1, c2 = cg_l[i], cg_l[j]
+            if c1 == b"*" or c2 == b"*":
+                continue
+            positions.extend((int(pos[i]), int(pos[j])))
+            cigars.extend((c1.decode(), c2.decode()))
+        return tuple(positions), tuple(cigars), len(positions) // 2
 
 
 # ---------------------------------------------------------------------- BAM

@@ -87,6 +87,12 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_char_p, ctypes.c_int64, i64p,  # cigar buf/cap/off
             ctypes.POINTER(ctypes.c_int64),       # consumed
         ]
+        lib.miso_pair_qnames.restype = ctypes.c_int64
+        lib.miso_pair_qnames.argtypes = [
+            u8p, ctypes.c_int64,                  # qname byte buffer
+            i64p, i32p,                           # qname off/len
+            i64p,                                 # partner (out)
+        ]
         _LIB = lib
         return _LIB
 
@@ -194,3 +200,25 @@ def match_iso_native(gene, positions: np.ndarray, cigars,
         from miso_tpu.core.cigar import CigarError
         raise CigarError("Bad CIGAR string in native matcher")
     return out
+
+
+def pair_qnames(buf, qname_off, qname_len):
+    """partner[i] = index of record i's mate, or -1.
+
+    Native mate pairing over packed qname bytes: trailing /1 /2 #1 #2
+    mate ids are stripped, and ONLY names occurring exactly twice pair
+    (reference dict semantics, misopy/sam_utils.py:210-289).  Returns
+    None if the native library is unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    buf = np.ascontiguousarray(np.frombuffer(buf, dtype=np.uint8))
+    qname_off = np.ascontiguousarray(qname_off, np.int64)
+    qname_len = np.ascontiguousarray(qname_len, np.int32)
+    n = len(qname_off)
+    partner = np.empty(n, np.int64)
+    rc = lib.miso_pair_qnames(buf, n, qname_off, qname_len, partner)
+    if rc < 0:
+        return None
+    return partner

@@ -15,6 +15,7 @@
 // (NUL-terminated), cigar (u32: len<<4|op), seq, qual, tags.
 #include <cstdint>
 #include <cstring>
+#include <new>
 
 namespace {
 
@@ -120,6 +121,84 @@ int64_t miso_bam_scan(
     cigar_off[count] = cpos;
     *consumed = off;
     return count;
+}
+
+// Pair records by read name (qname), replicating the reference's
+// dict-based mate pairing (misopy/sam_utils.py:210-289 via
+// miso_tpu/io/sam.py::pair_sam_reads): names are grouped after
+// stripping a trailing /1 /2 #1 #2 mate id; ONLY names seen exactly
+// twice form a pair.  partner[i] = index of i's mate (or -1); the
+// first-seen mate is the one with the smaller index, preserving the
+// reference's insertion order semantics.
+//
+// qname_off are byte offsets into `buf`; open-addressed hash table,
+// FNV-1a.  Returns the number of pairs, or -1 on allocation failure.
+int64_t miso_pair_qnames(
+    const uint8_t* buf, int64_t n_records,
+    const int64_t* qname_off, const int32_t* qname_len,
+    int64_t* partner) {
+    for (int64_t i = 0; i < n_records; ++i) partner[i] = -1;
+    if (n_records == 0) return 0;
+    uint64_t cap = 16;
+    while (cap < uint64_t(n_records) * 2) cap <<= 1;
+    struct Slot {
+        uint64_t hash;
+        int64_t first;   // -1 = empty
+        int64_t second;  // -1 = single
+        int32_t count;
+    };
+    Slot* slots = new (std::nothrow) Slot[cap];
+    if (!slots) return -1;
+    for (uint64_t s = 0; s < cap; ++s) slots[s].first = -1;
+    const uint64_t mask = cap - 1;
+    for (int64_t i = 0; i < n_records; ++i) {
+        const uint8_t* p = buf + qname_off[i];
+        int64_t len = qname_len[i];
+        if (len >= 2 && (p[len - 2] == '/' || p[len - 2] == '#') &&
+            (p[len - 1] == '1' || p[len - 1] == '2'))
+            len -= 2;
+        uint64_t h = 1469598103934665603ull;  // FNV-1a 64
+        for (int64_t k = 0; k < len; ++k) {
+            h ^= p[k];
+            h *= 1099511628211ull;
+        }
+        uint64_t s = h & mask;
+        for (;;) {
+            Slot& sl = slots[s];
+            if (sl.first < 0) {
+                sl.hash = h;
+                sl.first = i;
+                sl.second = -1;
+                sl.count = 1;
+                break;
+            }
+            if (sl.hash == h) {
+                const uint8_t* q = buf + qname_off[sl.first];
+                int64_t qlen = qname_len[sl.first];
+                if (qlen >= 2 &&
+                    (q[qlen - 2] == '/' || q[qlen - 2] == '#') &&
+                    (q[qlen - 1] == '1' || q[qlen - 1] == '2'))
+                    qlen -= 2;
+                if (qlen == len && std::memcmp(p, q, size_t(len)) == 0) {
+                    if (sl.count == 1) sl.second = i;
+                    ++sl.count;
+                    break;
+                }
+            }
+            s = (s + 1) & mask;
+        }
+    }
+    int64_t pairs = 0;
+    for (uint64_t s = 0; s < cap; ++s) {
+        const Slot& sl = slots[s];
+        if (sl.first >= 0 && sl.count == 2) {
+            partner[sl.first] = sl.second;
+            partner[sl.second] = sl.first;
+            ++pairs;
+        }
+    }
+    delete[] slots;
+    return pairs;
 }
 
 }  // extern "C"

@@ -69,9 +69,8 @@ def run_batch_sharded(
     kernel per shard under shard_map -- the event axis has no cross-chip
     traffic, so each chip runs the same single-chip kernel on its slice.
 
-    `start_psi` (E, K, I) selects the GIVEN chain start (miso.c:405-409)
-    and routes through the XLA sampler (the fused kernels use the AUTO
-    start).
+    `start_psi` (E, K, I) selects the GIVEN chain start (miso.c:405-409);
+    both the fused kernels and the XLA sampler support it.
     """
     if mesh is None:
         mesh = make_event_mesh()
@@ -81,16 +80,15 @@ def run_batch_sharded(
                           for d in mesh.devices.flat)
                    and cfg.algorithm in ("reassign", "marginal", "classes")
                    and cfg.gibbs == "perread"
-                   and start_psi is None
                    else "xla")
     sharded = shard_batch(batch, mesh)
-    if backend != "pallas" or start_psi is not None:
-        sp = None
-        if start_psi is not None:
-            n = mesh.devices.size
-            sp = jax.device_put(
-                pad_to_devices(np.asarray(start_psi, np.float32), n),
-                NamedSharding(mesh, P(EVENT_AXIS)))
+    n = mesh.devices.size
+    sp = None
+    if start_psi is not None:
+        sp = jax.device_put(
+            pad_to_devices(np.asarray(start_psi, np.float32), n),
+            NamedSharding(mesh, P(EVENT_AXIS)))
+    if backend != "pallas":
         return run_batch(key, sharded, cfg, start_psi=sp)
 
     if cfg.algorithm == "reassign":
@@ -100,14 +98,25 @@ def run_batch_sharded(
             run_batch_pallas_marginal as runner)
     ev_spec = EventBatch(*([P(EVENT_AXIS)] * len(EventBatch._fields)))
     out_spec = SamplerResult(*([P(EVENT_AXIS)] * len(SamplerResult._fields)))
-    def per_shard(k, b):
-        # decorrelate the on-core PRNG streams across shards
-        k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
-        return runner(k, b, cfg)
 
-    f = jax.shard_map(per_shard, mesh=mesh, in_specs=(P(), ev_spec),
+    if sp is None:
+        def per_shard(k, b):
+            # decorrelate the on-core PRNG streams across shards
+            k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
+            return runner(k, b, cfg)
+
+        f = jax.shard_map(per_shard, mesh=mesh, in_specs=(P(), ev_spec),
+                          out_specs=out_spec, check_vma=False)
+        return f(key, sharded)
+
+    def per_shard_sp(k, b, s):
+        k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
+        return runner(k, b, cfg, start_psi=s)
+
+    f = jax.shard_map(per_shard_sp, mesh=mesh,
+                      in_specs=(P(), ev_spec, P(EVENT_AXIS)),
                       out_specs=out_spec, check_vma=False)
-    return f(key, sharded)
+    return f(key, sharded, sp)
 
 
 def posterior_summary(result: SamplerResult):

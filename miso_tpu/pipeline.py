@@ -174,9 +174,19 @@ def run_events(
     counters the reference lacks (its only timer is the per-event
     wall-clock print, miso_sampler.py:373).
 
+    Non-convergent buckets are DISPATCHED first and materialized after:
+    JAX's async dispatch then overlaps bucket N's device execution with
+    bucket N-1's host readback (the quantized psi fetch that dominates
+    on remote runtimes).  Chunk event axes are padded to a bounded shape
+    set (powers of two up to max_batch_events, via _pow2_pad_events) so
+    arbitrary catalog sizes never mint new compile shapes.
+
     Returns a list parallel to `events` of per-event result dicts.
     """
     import jax
+    import jax.numpy as jnp
+
+    from miso_tpu.sampler.mcmc import _pow2_pad_events
 
     enable_compilation_cache()
     mesh = resolve_mesh(mesh)
@@ -185,6 +195,7 @@ def run_events(
         iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
         chains=cfg.chains, algorithm=cfg.algorithm)
     out: List[Optional[dict]] = [None] * len(events)
+    pending: List[dict] = []
     for (pad_iso, pad_classes, pad_reads), idxs in bucket_events(events):
         # very deep events: per-class multinomial Gibbs keeps device
         # memory and per-iteration work O(classes) instead of O(reads)
@@ -224,13 +235,23 @@ def run_events(
                         expr = np.full(ev.num_iso, 1.0 / ev.num_iso)
                     sp[j, :, :ev.num_iso] = expr[None, :]
                 start_psi = sp
+            backend = cfg.backend
+            if backend == "auto":
+                # measured on v5e at E=2048: fused Pallas kernels beat the
+                # XLA scan on every algorithm (docs/VALIDATION.md)
+                backend = ("pallas" if jax.default_backend() == "tpu"
+                           and (cfg.algorithm in ("marginal", "classes")
+                                or sampler_cfg.gibbs == "perread")
+                           else "xla")
             if cfg.stop == "convergent":
                 # R-hat <= 1.1 adaptive stopping (miso.c:903-928): only
-                # unconverged events re-run, with extended schedules
+                # unconverged events re-run, with extended schedules.
+                # GIVEN-start kernel support keeps continuation rounds on
+                # the fused Pallas path.
                 from miso_tpu.sampler.mcmc import run_batch_convergent
                 conv_res, _ = run_batch_convergent(
                     key, batch, sampler_cfg, max_iters=cfg.max_iters,
-                    mesh=mesh, start_psi=start_psi)
+                    mesh=mesh, start_psi=start_psi, backend=backend)
                 for j, i in enumerate(chunk):
                     r = conv_res[j]
                     k = events[i].num_iso
@@ -258,65 +279,77 @@ def run_events(
                         "events_per_s": len(chunk) / max(dt, 1e-9),
                         "stop": "convergent"})
                 continue
-            backend = cfg.backend
-            if backend == "auto":
-                # measured on v5e at E=2048: fused Pallas kernels beat the
-                # XLA scan on every algorithm (docs/VALIDATION.md)
-                backend = ("pallas" if jax.default_backend() == "tpu"
-                           and (cfg.algorithm in ("marginal", "classes")
-                                or sampler_cfg.gibbs == "perread")
-                           else "xla")
+            # bounded compile shapes: pad the event axis to a power of
+            # two (full chunks of max_batch_events stay untouched when
+            # it is one) -- arbitrary catalog sizes reuse cached shapes
+            batch, start_psi = _pow2_pad_events(batch, start_psi,
+                                                len(chunk))
+            sp_j = (None if start_psi is None
+                    else jax.numpy.asarray(start_psi))
             if mesh is not None:
                 from miso_tpu.parallel.mesh import run_batch_sharded
                 res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh,
                                         backend=backend,
                                         start_psi=start_psi)
-            elif (backend == "pallas" and start_psi is None
+            elif (backend == "pallas"
                   and cfg.algorithm in ("marginal", "classes")):
                 from miso_tpu.sampler.pallas_marginal import (
                     run_batch_pallas_marginal)
-                res = run_batch_pallas_marginal(key, batch, sampler_cfg)
-            elif (backend == "pallas" and start_psi is None
-                  and cfg.algorithm == "reassign"
+                res = run_batch_pallas_marginal(key, batch, sampler_cfg,
+                                                start_psi=sp_j)
+            elif (backend == "pallas" and cfg.algorithm == "reassign"
                   and sampler_cfg.gibbs == "perread"):
                 from miso_tpu.sampler.pallas_kernel import run_batch_pallas
-                res = run_batch_pallas(key, batch, sampler_cfg)
+                res = run_batch_pallas(key, batch, sampler_cfg,
+                                       start_psi=sp_j)
             else:
                 res = run_batch(key, batch, sampler_cfg,
-                                start_psi=start_psi)
+                                start_psi=sp_j)
             # fetch psi quantized to 1e-4 on device: exactly the .miso
             # output precision ("%.4f"), at a quarter of the bytes --
-            # device->host transfer dominates on remote runtimes
-            import jax.numpy as jnp
+            # device->host transfer dominates on remote runtimes.  The
+            # transfers are NOT forced here: pending chunks materialize
+            # after every chunk has been dispatched, so bucket N's
+            # readback overlaps bucket N+1's device execution.
             quant = jnp.round(res.flat_samples() * 1e4).astype(jnp.uint16)
-            flat = np.asarray(quant).astype(np.float32) / 1e4
-            loglik = np.asarray(res.flat_loglik())
-            accepted = np.asarray(res.accepted)
-            rejected = np.asarray(res.rejected)
-            final_n = np.asarray(res.final_n)
-            final_psi = np.asarray(res.final_psi)
-            for j, i in enumerate(chunk):
-                k = events[i].num_iso
-                fn = final_n[j, 0, :k]  # chain 0
-                if cfg.algorithm != "reassign":
-                    # final assignment pass for non-REASSIGN algorithms
-                    # (miso.c:935-947)
-                    fn = events[i].final_assignment_counts(
-                        final_psi[j, 0, :k])
-                out[i] = {
-                    "samples": flat[j, :, :k],
-                    "loglik": loglik[j],
-                    "percent_accept": 100.0 * accepted[j]
-                        / max(accepted[j] + rejected[j], 1),
-                    "final_n": fn,
-                }
-            if bucket_stats is not None:
-                dt = time.time() - t_bucket
-                bucket_stats.append({
-                    "shape": (pad_iso, pad_classes, pad_reads),
-                    "events": len(chunk), "seconds": dt,
-                    "events_per_s": len(chunk) / max(dt, 1e-9),
-                    "backend": backend})
+            pending.append({
+                "chunk": chunk, "quant": quant,
+                "loglik": res.flat_loglik(), "accepted": res.accepted,
+                "rejected": res.rejected, "final_n": res.final_n,
+                "final_psi": res.final_psi, "backend": backend,
+                "t0": t_bucket,
+                "shape": (pad_iso, pad_classes, pad_reads)})
+
+    for p in pending:
+        chunk = p["chunk"]
+        flat = np.asarray(p["quant"]).astype(np.float32) / 1e4
+        loglik = np.asarray(p["loglik"])
+        accepted = np.asarray(p["accepted"])
+        rejected = np.asarray(p["rejected"])
+        final_n = np.asarray(p["final_n"])
+        final_psi = np.asarray(p["final_psi"])
+        for j, i in enumerate(chunk):
+            k = events[i].num_iso
+            fn = final_n[j, 0, :k]  # chain 0
+            if cfg.algorithm != "reassign":
+                # final assignment pass for non-REASSIGN algorithms
+                # (miso.c:935-947)
+                fn = events[i].final_assignment_counts(
+                    final_psi[j, 0, :k])
+            out[i] = {
+                "samples": flat[j, :, :k],
+                "loglik": loglik[j],
+                "percent_accept": 100.0 * accepted[j]
+                    / max(accepted[j] + rejected[j], 1),
+                "final_n": fn,
+            }
+        if bucket_stats is not None:
+            dt = time.time() - p["t0"]
+            bucket_stats.append({
+                "shape": p["shape"],
+                "events": len(chunk), "seconds": dt,
+                "events_per_s": len(chunk) / max(dt, 1e-9),
+                "backend": p["backend"]})
     return out
 
 
@@ -390,16 +423,24 @@ def compute_all_genes_psi(
                       % out_path)
             return None
         lo, hi = gene.genomic_span()
-        unstranded = cfg.strand_rule in (None, "fr-unstranded")
-        if (not cfg.paired_end and unstranded
-                and hasattr(alignments, "fetch_columnar")):
-            # single-end columnar ingest: native batch decode straight
-            # to (positions, cigars), no per-read objects
+        if hasattr(alignments, "fetch_columnar"):
+            # columnar ingest: native batch decode (and native qname
+            # pairing for paired-end) straight to (positions, cigars),
+            # no per-read Python objects
             col = None
             try:
-                col = alignments.fetch_columnar(
-                    gene.chrom, lo - 1, hi,
-                    given_read_len=cfg.filter_read_len)
+                if cfg.paired_end:
+                    col = alignments.fetch_columnar_paired(
+                        gene.chrom, lo - 1, hi,
+                        given_read_len=cfg.filter_read_len,
+                        strand_rule=cfg.strand_rule,
+                        target_strand=gene.strand)
+                else:
+                    col = alignments.fetch_columnar(
+                        gene.chrom, lo - 1, hi,
+                        given_read_len=cfg.filter_read_len,
+                        strand_rule=cfg.strand_rule,
+                        target_strand=gene.strand)
             except KeyError:
                 pass  # chr-prefix fallback below
             if col is not None:

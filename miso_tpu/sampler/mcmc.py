@@ -146,6 +146,7 @@ def run_batch_convergent(
     rhat_threshold: float = 1.1,
     mesh=None,
     start_psi=None,
+    backend: str = "xla",
 ):
     """Convergent-mean stopping with adaptive extension.
 
@@ -157,6 +158,10 @@ def run_batch_convergent(
     (GIVEN start from their final psi) -- masked continuation instead of
     per-event while-loops.  Continuation batches are padded to
     power-of-two event counts so the set of compile shapes is bounded.
+
+    backend='pallas' keeps every round (including GIVEN-start
+    continuations) on the fused kernels; continuation schedules still
+    compile once per (iters, burn_in) pair.
 
     Returns (results, iters_used): per-event SamplerResult-like dicts
     with per-event "iters"/"burn_in" recording the final schedule.
@@ -179,13 +184,23 @@ def run_batch_convergent(
         sp = None if start_psi is None else start_psi[remaining]
         sub, sp = _pow2_pad_events(sub, sp, len(remaining))
         rkey = jax.random.fold_in(key, round_i)
+        sp_j = None if sp is None else jnp.asarray(sp)
         if mesh is not None:
             from miso_tpu.parallel.mesh import run_batch_sharded
             res = run_batch_sharded(rkey, sub, cur_cfg, mesh=mesh,
-                                    start_psi=sp)
+                                    backend=backend, start_psi=sp)
+        elif (backend == "pallas"
+              and cur_cfg.algorithm in ("marginal", "classes")):
+            from miso_tpu.sampler.pallas_marginal import (
+                run_batch_pallas_marginal)
+            res = run_batch_pallas_marginal(rkey, sub, cur_cfg,
+                                            start_psi=sp_j)
+        elif (backend == "pallas" and cur_cfg.algorithm == "reassign"
+              and cur_cfg.gibbs == "perread"):
+            from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+            res = run_batch_pallas(rkey, sub, cur_cfg, start_psi=sp_j)
         else:
-            res = run_batch(rkey, sub, cur_cfg,
-                            start_psi=None if sp is None else jnp.asarray(sp))
+            res = run_batch(rkey, sub, cur_cfg, start_psi=sp_j)
         nr = len(remaining)
         rh = np.asarray(batch_rhat(res.psi_samples))[:nr]  # (Esub, I)
         iso_mask = (np.arange(events.weights.shape[2])[None, :]

@@ -129,16 +129,20 @@ def _sampler_kernel(
     iso_mask_ref,      # (I, B)
     last_onehot_ref,   # (I, B)
     scal_ref,          # (2, B): noise_scale, dir_const
-    # outputs
-    psi_out_ref,       # (1, I, RPAD, B)
-    loglik_out_ref,    # (1, RPAD, B)
-    acc_out_ref,       # (1, 1, B)
-    finaln_out_ref,    # (1, I, B)
-    finalpsi_out_ref,  # (1, I, B)
-    *,
+    # with has_start, one extra input (start psi, (I, B)) precedes the
+    # outputs (psi_out, loglik_out, acc_out, finaln_out, finalpsi_out)
+    *refs,
     cfg: SamplerConfig,
     B: int, I: int, R: int,
+    has_start: bool = False,
 ):
+    if has_start:
+        start_ref = refs[0]
+        refs = refs[1:]
+    else:
+        start_ref = None
+    (psi_out_ref, loglik_out_ref, acc_out_ref, finaln_out_ref,
+     finalpsi_out_ref) = refs
     if not _DEBUG_NO_PRNG:  # no interpret rule for prng_seed on CPU
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -252,11 +256,22 @@ def _sampler_kernel(
             n_rows[-1] = n_rows[-1] + n_pad
         return jnp.concatenate(n_rows, axis=0), read_prob
 
-    # ---- init (miso.c:348-371 AUTO start + :834 propose + :840 gibbs)
-    alpha0 = jnp.where(
-        amask > 0,
-        jnp.where(km1 == 1.0, 0.0, 1.0 / jnp.maximum(km1, 1.0)),
-        0.0)
+    # ---- init (miso.c:348-371 AUTO start + :834 propose + :840 gibbs);
+    # with has_start, the GIVEN start (miso.c:405-409): alpha =
+    # logit-ratio of the provided psi, matching mcmc.py _init_state
+    if start_ref is not None:
+        sp = start_ref[:]
+        sp_last = jnp.sum(sp * last_onehot, axis=0, keepdims=True)
+        alpha0 = jnp.where(
+            amask > 0,
+            _safe_log(jnp.maximum(sp, 1e-30))
+            - _safe_log(jnp.maximum(sp_last, 1e-30)),
+            0.0)
+    else:
+        alpha0 = jnp.where(
+            amask > 0,
+            jnp.where(km1 == 1.0, 0.0, 1.0 / jnp.maximum(km1, 1.0)),
+            0.0)
     alpha = alpha0 + noise_scale * _normal_rows(I, B) * amask
     psi, ld, logS = stats(alpha)
     n, rp = gibbs(psi)
@@ -388,8 +403,14 @@ def _block_events(E: int, R: int, K: int, I: int, RPAD: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def run_batch_pallas(key, events: EventBatch,
                      cfg: SamplerConfig,
-                     interpret: bool = False) -> SamplerResult:
+                     interpret: bool = False,
+                     start_psi=None) -> SamplerResult:
     """Drop-in alternative to mcmc.run_batch (REASSIGN + per-read Gibbs).
+
+    Optional `start_psi` (E, K, I) selects the GIVEN chain start
+    (miso.c:405-409) -- used by the convergent-mean continuation rounds
+    and the NNLS linear start, which previously had to fall back to the
+    ~5x-slower XLA scan.
 
     interpret=True runs the kernel in the Pallas interpreter (CPU) --
     the Mosaic interpreter's prng_random_bits returns zeros, so this is
@@ -455,20 +476,31 @@ def run_batch_pallas(key, events: EventBatch,
                             lambda i, *_: (i,) + (0,) * nd + (0,),
                             memory_space=pltpu.VMEM)
 
+    has_start = start_psi is not None
+    inputs = [seed, read_w, read_ls, log_iso_w_t, hyper_t,
+              amask_t, iso_mask_t, last_onehot_t, scal_t]
+    in_specs = [
+        in_bspec((I, R)), in_bspec((I, R)), in_bspec((I,)),
+        in_bspec((I,)), in_bspec((I,)), in_bspec((I,)), in_bspec((I,)),
+        in_bspec((2,)),
+    ]
+    if has_start:
+        # (E, K, I) -> (I, E*K): per-(event, chain) lane layout
+        sp = jnp.asarray(start_psi, f32).reshape(E * K, I)
+        inputs.append(jnp.moveaxis(sp, 0, -1))
+        in_specs.append(in_bspec((I,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
-        in_specs=[
-            in_bspec((I, R)), in_bspec((I, R)), in_bspec((I,)),
-            in_bspec((I,)), in_bspec((I,)), in_bspec((I,)), in_bspec((I,)),
-            in_bspec((2,)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             out_bspec((I, RPAD)), out_bspec((RPAD,)),
             out_bspec((1,)), out_bspec((I,)), out_bspec((I,)),
         ],
     )
-    kernel = functools.partial(_sampler_kernel, cfg=cfg, B=B, I=I, R=R)
+    kernel = functools.partial(_sampler_kernel, cfg=cfg, B=B, I=I, R=R,
+                               has_start=has_start)
     psi_s, loglik, acc, final_n, final_psi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -482,8 +514,7 @@ def run_batch_pallas(key, events: EventBatch,
             jax.ShapeDtypeStruct((NB, I, B), f32),
             jax.ShapeDtypeStruct((NB, I, B), f32),
         ],
-    )(seed, read_w, read_ls, log_iso_w_t, hyper_t,
-      amask_t, iso_mask_t, last_onehot_t, scal_t)
+    )(*inputs)
 
     # lane b*B + e*K + k is (event b*BE+e, chain k)
     psi_samples = jnp.transpose(

@@ -56,15 +56,19 @@ def _marginal_kernel(
     iso_mask_ref,    # (I, B)
     last_onehot_ref, # (I, B)
     scal_ref,        # (4, B): noise_scale, inv_sigma, prop_const, dir_const
-    # outputs
-    psi_out_ref,     # (1, I, RPAD, B)
-    loglik_out_ref,  # (1, RPAD, B)
-    acc_out_ref,     # (1, 1, B)
-    finalpsi_out_ref,# (1, I, B)
-    *,
+    # with has_start, one extra input (start psi, (I, B)) precedes the
+    # outputs (psi_out, loglik_out, acc_out, finalpsi_out)
+    *refs,
     cfg: SamplerConfig,
     B: int, I: int, C: int,
+    has_start: bool = False,
 ):
+    if has_start:
+        start_ref = refs[0]
+        refs = refs[1:]
+    else:
+        start_ref = None
+    psi_out_ref, loglik_out_ref, acc_out_ref, finalpsi_out_ref = refs
     if not _pk._DEBUG_NO_PRNG:  # no interpret rule for prng_seed on CPU
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
@@ -111,12 +115,22 @@ def _marginal_kernel(
                 - jnp.sum(logpsi, axis=0, keepdims=True)
                 - _safe_log(ltheta) + exp_part)
 
-    # ---- init (miso.c:348-371 AUTO start + :834 initial proposal)
+    # ---- init (miso.c:348-371 AUTO start + :834 initial proposal);
+    # with has_start, the GIVEN start (miso.c:405-409)
     km1 = jnp.sum(amask, axis=0, keepdims=True)
-    alpha0 = jnp.where(
-        amask > 0,
-        jnp.where(km1 == 1.0, 0.0, 1.0 / jnp.maximum(km1, 1.0)),
-        0.0)
+    if start_ref is not None:
+        sp = start_ref[:]
+        sp_last = jnp.sum(sp * last_onehot, axis=0, keepdims=True)
+        alpha0 = jnp.where(
+            amask > 0,
+            _safe_log(jnp.maximum(sp, 1e-30))
+            - _safe_log(jnp.maximum(sp_last, 1e-30)),
+            0.0)
+    else:
+        alpha0 = jnp.where(
+            amask > 0,
+            jnp.where(km1 == 1.0, 0.0, 1.0 / jnp.maximum(km1, 1.0)),
+            0.0)
     alpha = alpha0 + noise_scale * _normal((I, B)) * amask
     psi = logistic_inv(alpha)
     cjs = joint_score(psi)
@@ -220,8 +234,13 @@ def _block_events(E: int, K: int, I: int, RPAD: int) -> int:
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))
 def run_batch_pallas_marginal(key, events: EventBatch,
                               cfg: SamplerConfig,
-                              interpret: bool = False) -> SamplerResult:
+                              interpret: bool = False,
+                              start_psi=None) -> SamplerResult:
     """Drop-in alternative to mcmc.run_batch for MARGINAL / CLASSES.
+
+    Optional `start_psi` (E, K, I) selects the GIVEN chain start
+    (miso.c:405-409), used by convergent-mean continuations and the
+    NNLS linear start.
 
     interpret=True + MISO_PALLAS_NO_PRNG runs the deterministic chain in
     the Pallas interpreter on CPU (tests/test_pallas_interpret.py)."""
@@ -277,19 +296,29 @@ def run_batch_pallas_marginal(key, events: EventBatch,
                             lambda i, *_: (i,) + (0,) * nd + (0,),
                             memory_space=pltpu.VMEM)
 
+    has_start = start_psi is not None
+    inputs = [seed, w_t, counts_t, hyper_t, amask_t, iso_mask_t,
+              last_onehot_t, scal_t]
+    in_specs = [
+        in_bspec((I, C)), in_bspec((C,)), in_bspec((I,)),
+        in_bspec((I,)), in_bspec((I,)), in_bspec((I,)), in_bspec((4,)),
+    ]
+    if has_start:
+        sp = jnp.asarray(start_psi, f32).reshape(E * K, I)
+        inputs.append(jnp.moveaxis(sp, 0, -1))
+        in_specs.append(in_bspec((I,)))
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(NB,),
-        in_specs=[
-            in_bspec((I, C)), in_bspec((C,)), in_bspec((I,)),
-            in_bspec((I,)), in_bspec((I,)), in_bspec((I,)), in_bspec((4,)),
-        ],
+        in_specs=in_specs,
         out_specs=[
             out_bspec((I, RPAD)), out_bspec((RPAD,)),
             out_bspec((1,)), out_bspec((I,)),
         ],
     )
-    kernel = functools.partial(_marginal_kernel, cfg=cfg, B=B, I=I, C=C)
+    kernel = functools.partial(_marginal_kernel, cfg=cfg, B=B, I=I, C=C,
+                               has_start=has_start)
     psi_s, loglik, acc, final_psi = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -302,8 +331,7 @@ def run_batch_pallas_marginal(key, events: EventBatch,
             jax.ShapeDtypeStruct((NB, 1, B), f32),
             jax.ShapeDtypeStruct((NB, I, B), f32),
         ],
-    )(seed, w_t, counts_t, hyper_t, amask_t, iso_mask_t, last_onehot_t,
-      scal_t)
+    )(*inputs)
 
     # lane b*B + e*K + k is (event b*BE+e, chain k)
     psi_samples = jnp.transpose(

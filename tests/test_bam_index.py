@@ -234,3 +234,93 @@ def test_fetch_skips_placed_unmapped(tmp_path):
     assert sorted(r.qname for r in got) == ["m%d" % i for i in range(5)]
     col = idx.fetch_columnar("chrZ", 0, 1000)
     assert col is None or col[2] == 5
+
+
+@pytest.fixture(scope="module")
+def paired_bam(tmp_path_factory):
+    """A paired-end BAM with every pairing edge case: suffixed and
+    unsuffixed qnames, singletons, a triple-occurrence name, qcfail /
+    mate-unmapped / unpaired-flag records, a same-strand pair, a '*'
+    CIGAR mate, and mixed read lengths."""
+    from miso_tpu.io.sam import AlignedRead, write_bam
+
+    F_PAIR, F_MUNMAP, F_REV, F_QCFAIL = 0x1, 0x8, 0x10, 0x200
+    reads = []
+
+    def add(qname, pos, flag, cigar="40M", rlen=40):
+        reads.append(AlignedRead(qname=qname, flag=flag, rname="chrP",
+                                 pos=pos, mapq=60, cigar_str=cigar,
+                                 rlen=rlen))
+
+    rng = np.random.default_rng(7)
+    for k in range(40):  # normal pairs, half with /1 /2 suffixes
+        p = int(rng.integers(100, 4000))
+        rev_first = bool(rng.integers(2))
+        n1 = "p%d/1" % k if k % 2 else "p%d" % k
+        n2 = "p%d/2" % k if k % 2 else "p%d" % k
+        add(n1, p, F_PAIR | (F_REV if rev_first else 0))
+        add(n2, p + 120, F_PAIR | (0 if rev_first else F_REV))
+    add("solo", 500, F_PAIR)                       # mate never in region
+    add("trip", 600, F_PAIR)                       # name seen 3x
+    add("trip", 700, F_PAIR | F_REV)
+    add("trip", 800, F_PAIR)
+    add("qf/1", 900, F_PAIR | F_QCFAIL)            # qcfail drops the pair
+    add("qf/2", 1000, F_PAIR | F_REV)
+    add("mu/1", 1100, F_PAIR | F_MUNMAP)           # mate-unmapped drops
+    add("mu/2", 1200, F_PAIR | F_REV)
+    add("np1", 1300, 0)                            # not flagged paired
+    add("np1", 1400, F_REV)
+    add("ss/1", 1500, F_PAIR)                      # same-strand pair
+    add("ss/2", 1600, F_PAIR)
+    add("star/1", 1700, F_PAIR, cigar="*")         # '*' CIGAR mate
+    add("star/2", 1800, F_PAIR | F_REV)
+    add("len/1", 1900, F_PAIR, cigar="30M", rlen=30)  # odd read length
+    add("len/2", 2000, F_PAIR | F_REV, cigar="30M", rlen=30)
+    reads.sort(key=lambda r: r.pos)
+    path = str(tmp_path_factory.mktemp("pairedbam") / "paired.bam")
+    write_bam(path, ["chrP"], [10000], reads)
+    return path
+
+
+@pytest.mark.parametrize("strand_rule,target", [
+    (None, None), ("fr-unstranded", "+"),
+    ("fr-firststrand", "+"), ("fr-firststrand", "-")])
+def test_fetch_columnar_paired_matches_parse_reads(paired_bam,
+                                                   strand_rule, target):
+    """The native-paired columnar ingest equals fetch + sam_parse_reads
+    (paired) on every edge case, including strand rules and read-length
+    filters."""
+    from miso_tpu import native
+    from miso_tpu.io.sam import sam_parse_reads
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(paired_bam)
+    for (s, e), rl in [((0, 10 ** 9), None), ((0, 10 ** 9), 40),
+                       ((300, 3000), None)]:
+        col = reader.fetch_columnar_paired(
+            "chrP", s, e, given_read_len=rl, strand_rule=strand_rule,
+            target_strand=target)
+        (pos, cig), n = sam_parse_reads(
+            reader.fetch("chrP", s, e), paired_end=True,
+            strand_rule=strand_rule, target_strand=target,
+            given_read_len=rl)
+        assert col[2] == n
+        assert col[0] == pos and col[1] == cig
+
+
+def test_fetch_columnar_stranded_matches_parse_reads(paired_bam):
+    """Single-end fr-firststrand columnar filter equals the Python
+    path's read_matches_strand."""
+    from miso_tpu import native
+    from miso_tpu.io.sam import sam_parse_reads
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(paired_bam)
+    for target in ("+", "-"):
+        col = reader.fetch_columnar(
+            "chrP", 0, 10 ** 9, strand_rule="fr-firststrand",
+            target_strand=target)
+        (pos, cig), n = sam_parse_reads(
+            reader.fetch("chrP", 0, 10 ** 9),
+            strand_rule="fr-firststrand", target_strand=target)
+        assert col[2] == n and col[0] == pos and col[1] == cig

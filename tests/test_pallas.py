@@ -129,3 +129,63 @@ def test_pallas_agrees_with_xla_sampler():
     a1 = float(r1.accepted[0]) / (float(r1.accepted[0]) + float(r1.rejected[0]))
     a2 = float(r2.accepted[0]) / (float(r2.accepted[0]) + float(r2.rejected[0]))
     assert abs(a1 - a2) < 0.05, (a1, a2)
+
+
+def test_pallas_given_start_matches_exact_posterior():
+    """GIVEN-start (miso.c:405-409): starting every chain from a
+    deliberately wrong psi must still converge to the exact posterior --
+    validates the kernel's start-psi input end to end on hardware."""
+    from exact_posterior import exact_posterior_mean_2iso
+    from miso_tpu.core.events import pad_events
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig
+    from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+
+    ev = _compile_demo([0.7, 0.3])
+    exact = exact_posterior_mean_2iso(ev)
+    E, K = 8, 4
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev] * E).items()})
+    cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=K)
+    start = np.tile(np.array([0.05, 0.95], np.float32), (E, K, 1))
+    res = run_batch_pallas(jax.random.PRNGKey(3), batch, cfg,
+                           start_psi=start)
+    s = np.asarray(res.flat_samples())
+    means = s[:, :, 0].mean(axis=1)
+    assert np.all(np.abs(means - exact) < 0.03), (means, exact)
+
+
+def test_pallas_marginal_given_start():
+    from miso_tpu.core.events import compile_single_end, pad_events
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig
+    from miso_tpu.sampler.pallas_marginal import run_batch_pallas_marginal
+
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+    rng = np.random.default_rng(9)
+    _, pos, cig = simulate_reads(g, [0.6, 0.4], 2000, 25, rng)
+    ev = compile_single_end(g, pos, cig, read_len=25, algorithm="marginal")
+    # grid-exact mean of the MARGINAL-algorithm target, which is a
+    # different likelihood from REASSIGN's: prod_c (sum_j W_cj psi_j)^n_c
+    # with W = compat/effLen (miso.c:807-815) -- NOT the reassign model's
+    # length-normalized mixture, so exact_posterior_mean_2iso does not
+    # apply here
+    p = np.linspace(1e-6, 1 - 1e-6, 200001)
+    W = ev.weights[:, :2]
+    s = W[None, :, 0] * p[:, None] + W[None, :, 1] * (1 - p)[:, None]
+    ll = np.where(ev.counts[None, :] > 0,
+                  ev.counts[None, :] * np.log(np.maximum(s, 1e-300)),
+                  0.0).sum(axis=1)
+    w = np.exp(ll - ll.max())
+    exact = float((w * p).sum() / w.sum())
+    E, K = 8, 4
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev] * E).items()})
+    cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=K,
+                        algorithm="marginal")
+    start = np.tile(np.array([0.95, 0.05], np.float32), (E, K, 1))
+    res = run_batch_pallas_marginal(jax.random.PRNGKey(4), batch, cfg,
+                                    start_psi=start)
+    s = np.asarray(res.flat_samples())
+    means = s[:, :, 0].mean(axis=1)
+    assert np.all(np.abs(means - exact) < 0.03), (means, exact)

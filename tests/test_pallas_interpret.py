@@ -21,7 +21,8 @@ from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig
 U = 0.4999  # the _DEBUG_NO_PRNG constant for every uniform draw
 
 
-def _sim_event(read_w, rls, log_iso_w, hyper, num_iso, cfg, R):
+def _sim_event(read_w, rls, log_iso_w, hyper, num_iso, cfg, R,
+               start_psi=None):
     """Numpy replica of one (event, chain) lane of _sampler_kernel."""
     I = read_w.shape[1]
     iso_mask = (np.arange(I) < num_iso).astype(np.float64)
@@ -94,8 +95,14 @@ def _sim_event(read_w, rls, log_iso_w, hyper, num_iso, cfg, R):
             rp += (oh * rls[:, i]).sum()
         return rp
 
-    alpha0 = np.where(amask > 0,
-                      0.0 if km1 == 1.0 else 1.0 / max(km1, 1.0), 0.0)
+    if start_psi is not None:
+        sp_last = (start_psi * last_onehot).sum()
+        alpha0 = np.where(amask > 0,
+                          np.log(np.maximum(start_psi, 1e-30))
+                          - np.log(max(sp_last, 1e-30)), 0.0)
+    else:
+        alpha0 = np.where(amask > 0,
+                          0.0 if km1 == 1.0 else 1.0 / max(km1, 1.0), 0.0)
     alpha = alpha0 + noise_scale * normal_rows() * amask
     psi, ld, logS = stats(alpha)
     n = gibbs(psi)
@@ -180,7 +187,7 @@ def test_kernel_matches_numpy_sim_interpret(monkeypatch, num_iso):
         assert accepted[e] == pytest.approx(sim_acc * K)
 
 
-def _sim_marginal(weights, counts, hyper, num_iso, cfg):
+def _sim_marginal(weights, counts, hyper, num_iso, cfg, start_psi=None):
     """Numpy replica of one (event, chain) lane of _marginal_kernel."""
     from scipy.special import gammaln
     C, I = weights.shape
@@ -225,8 +232,14 @@ def _sim_marginal(weights, counts, hyper, num_iso, cfg):
         return (prop_const - logpsi.sum() - np.log(max(ltheta, 1e-38))
                 - 0.5 * (tmp * tmp).sum() * inv_sigma)
 
-    alpha0 = np.where(amask > 0,
-                      0.0 if km1 == 1.0 else 1.0 / max(km1, 1.0), 0.0)
+    if start_psi is not None:
+        sp_last = (start_psi * last).sum()
+        alpha0 = np.where(amask > 0,
+                          np.log(np.maximum(start_psi, 1e-30))
+                          - np.log(max(sp_last, 1e-30)), 0.0)
+    else:
+        alpha0 = np.where(amask > 0,
+                          0.0 if km1 == 1.0 else 1.0 / max(km1, 1.0), 0.0)
     alpha = alpha0 + noise_scale * normal_rows() * amask
     psi = logistic_inv(alpha)
     acc_count = 0.0
@@ -289,3 +302,85 @@ def test_marginal_kernel_matches_numpy_sim_interpret(monkeypatch, num_iso):
             np.testing.assert_allclose(final_psi[e, k], sim_fpsi,
                                        atol=2e-4)
         assert accepted[e] == pytest.approx(sim_acc * K)
+
+
+def test_kernel_given_start_interpret(monkeypatch):
+    """GIVEN-start (miso.c:405-409) in the fused REASSIGN kernel: each
+    (event, chain) lane starts from its own psi; the deterministic
+    NO_PRNG chain must match the numpy replica seeded the same way."""
+    monkeypatch.setattr(pk, "_DEBUG_NO_PRNG", True)
+
+    R, E, K, I = 16, 2, 2, 2
+    rng = np.random.default_rng(5)
+    read_w = (rng.random((E, R, I)) < 0.7).astype(np.float32)
+    read_w[:, 0, :] = 1.0
+    rls = np.where(read_w > 0, np.log(0.01 + rng.random((E, R, I))), 0.0
+                   ).astype(np.float32)
+    log_iso_w = np.log(np.array([[200.0, 120.0]] * E, np.float32))
+    batch = EventBatch(
+        weights=np.zeros((E, 4, I), np.float32),
+        log_read=np.zeros((E, 4, I), np.float32),
+        counts=np.zeros((E, 4), np.float32),
+        log_iso_w=log_iso_w,
+        hyper=np.ones((E, I), np.float32),
+        num_iso=np.full((E,), I, np.int32),
+        read_w=read_w,
+        read_logscore=rls,
+    )
+    cfg = SamplerConfig(iters=24, burn_in=6, lag=3, chains=K)
+    # distinct start per (event, chain): exercises the lane layout
+    start = np.zeros((E, K, I), np.float32)
+    p0 = np.array([[0.9, 0.3], [0.6, 0.15]], np.float32)  # (E, K)
+    for e in range(E):
+        for k in range(K):
+            start[e, k] = [p0[e, k], 1.0 - p0[e, k]]
+    out = pk.run_batch_pallas(jax.random.PRNGKey(0), batch, cfg,
+                              interpret=True, start_psi=start)
+    psi_s = np.asarray(out.psi_samples)
+    for e in range(E):
+        for k in range(K):
+            sim_psi, sim_ll, sim_acc, sim_n, sim_fpsi = _sim_event(
+                read_w[e].astype(np.float64), rls[e].astype(np.float64),
+                log_iso_w[e].astype(np.float64),
+                np.ones(I), I, cfg, R,
+                start_psi=start[e, k].astype(np.float64))
+            np.testing.assert_allclose(psi_s[e, :, k, :], sim_psi,
+                                       rtol=0, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(out.final_psi)[e, k],
+                                       sim_fpsi, atol=2e-4)
+
+
+def test_marginal_kernel_given_start_interpret(monkeypatch):
+    import miso_tpu.sampler.pallas_marginal as pm
+    monkeypatch.setattr(pk, "_DEBUG_NO_PRNG", True)
+
+    E, K, C, I = 2, 2, 4, 3
+    rng = np.random.default_rng(6)
+    weights = rng.random((E, C, I)).astype(np.float32)
+    counts = np.array([[30.0, 20.0, 10.0, 5.0]] * E, np.float32)
+    batch = EventBatch(
+        weights=weights,
+        log_read=np.zeros((E, C, I), np.float32),
+        counts=counts,
+        log_iso_w=np.zeros((E, I), np.float32),
+        hyper=np.ones((E, I), np.float32),
+        num_iso=np.full((E,), I, np.int32),
+        read_w=np.zeros((E, 1, I), np.float32),
+        read_logscore=np.zeros((E, 1, I), np.float32),
+    )
+    cfg = SamplerConfig(iters=24, burn_in=6, lag=3, chains=K,
+                        algorithm="marginal")
+    start = rng.dirichlet(np.ones(I), size=(E, K)).astype(np.float32)
+    out = pm.run_batch_pallas_marginal(jax.random.PRNGKey(0), batch, cfg,
+                                       interpret=True, start_psi=start)
+    psi_s = np.asarray(out.psi_samples)
+    for e in range(E):
+        for k in range(K):
+            sim_psi, _, _, sim_fpsi = _sim_marginal(
+                weights[e].astype(np.float64),
+                counts[e].astype(np.float64), np.ones(I), I, cfg,
+                start_psi=start[e, k].astype(np.float64))
+            np.testing.assert_allclose(psi_s[e, :, k, :], sim_psi,
+                                       rtol=0, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(out.final_psi)[e, k],
+                                       sim_fpsi, atol=2e-4)
