@@ -57,6 +57,54 @@ def build_catalog(num_events, reads_per_event=200, seed=0,
     return batches
 
 
+def main_e2e(num_genes: int) -> None:
+    """End-to-end benchmark: GFF+BAM catalog -> .miso files, wall-clock.
+
+    Measures the full production path (compute_all_genes_psi: indexed
+    annotation load, native BAM ingest, event compile, device sampling,
+    quantized readback, .miso writes) on a simulated catalog -- the
+    number the reference's per-event wall-clock print corresponds to
+    (misopy/miso_sampler.py:373), at catalog scale.  The fixture is
+    cached across runs; pass a different size to regenerate.
+    """
+    import shutil
+    import jax
+
+    from miso_tpu.pipeline import (RunConfig, compute_all_genes_psi,
+                                   enable_compilation_cache)
+
+    enable_compilation_cache()
+    cache = os.environ.get("MISO_E2E_DIR", "/tmp/miso_e2e_bench")
+    fixdir = os.path.join(cache, "cat%d" % num_genes)
+    bam = os.path.join(fixdir, "catalog.bam")
+    idx = os.path.join(fixdir, "index")
+    if not os.path.isfile(bam):
+        from miso_tpu.testing import build_catalog_fixture
+        build_catalog_fixture(fixdir, num_events=num_genes,
+                              reads_per_event=300, read_len=36, seed=1)
+    if not os.path.isdir(idx):
+        from miso_tpu.io.index import index_gff
+        index_gff(os.path.join(fixdir, "catalog.gff"), idx)
+    out = os.path.join(fixdir, "out")
+    shutil.rmtree(out, ignore_errors=True)
+    cfg = RunConfig(read_len=36, iters=5000, burn_in=500, lag=10,
+                    chains=6, min_event_reads=20)
+    # warm run compiles device shapes; timed run measures steady state
+    for timed in (False, True):
+        shutil.rmtree(out, ignore_errors=True)
+        t0 = time.perf_counter()
+        written = compute_all_genes_psi(idx, bam, 36, out, cfg=cfg,
+                                        verbose=timed)
+        dt = time.perf_counter() - t0
+    target = 1e4
+    print(json.dumps({
+        "metric": "events_end_to_end_per_s",
+        "value": round(written / dt, 2),
+        "unit": "events/s (BAM -> .miso, 5000 iters x 6 chains)",
+        "vs_baseline": round(written / dt / target, 4),
+    }))
+
+
 def main():
     import jax
     try:
@@ -118,4 +166,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--e2e" in sys.argv:
+        sys.argv.remove("--e2e")
+        main_e2e(int(sys.argv[1]) if len(sys.argv) > 1 else 10000)
+    else:
+        main()

@@ -26,6 +26,28 @@ from miso_tpu.core.cigar import parse_cigar
 from miso_tpu.core.gene import Gene
 
 
+@dataclass
+class PackedCigars:
+    """A read set's CIGAR strings as one NUL-terminated byte buffer plus
+    per-read start offsets -- the zero-copy currency between the native
+    BAM scanner and the native matcher (per-read Python strings never
+    materialize on the columnar ingest path)."""
+
+    buf: bytes
+    offsets: np.ndarray  # (n,) int64
+
+    def __len__(self) -> int:
+        return len(self.offsets)
+
+    def __getitem__(self, i) -> str:
+        o = int(self.offsets[i])
+        return self.buf[o:self.buf.index(b"\x00", o)].decode()
+
+    def __iter__(self):
+        for i in range(len(self.offsets)):
+            yield self[i]
+
+
 def match_iso(
     gene: Gene,
     positions: np.ndarray,
@@ -52,6 +74,8 @@ def match_iso(
                                       overhang)
         if out is not None:
             return out
+    if isinstance(cigars, PackedCigars):
+        cigars = list(cigars)  # numpy fallback decodes per read
     positions = np.asarray(positions, dtype=np.int64)
     noiso = gene.num_isoforms
     noreads = len(positions)

@@ -292,15 +292,32 @@ class _BgzfStream:
         extra = f.read(xlen)
         bsize = None
         epos = 0
-        while epos + 4 <= len(extra):
+        while epos + 6 <= len(extra):
             si1, si2, slen = struct.unpack_from("<BBH", extra, epos)
-            if si1 == 66 and si2 == 67:
+            if si1 == 66 and si2 == 67 and slen >= 2:
                 bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
             epos += 4 + slen
         if bsize is None:
             raise ValueError("%s: missing BGZF BC field" % self.path)
-        cdata = f.read(bsize - 12 - xlen - 8)
-        data = zlib.decompress(cdata, wbits=-15)
+        # every field is from the (untrusted) file: the compressed
+        # payload length must be positive, and the decompressed block
+        # must respect the spec's 64 KiB bound (a deflate bomb would
+        # otherwise expand ~1000x per block)
+        clen = bsize - 12 - xlen - 8
+        if clen < 0:
+            raise ValueError("%s: corrupt BGZF BSIZE at offset %d"
+                             % (self.path, coffset))
+        cdata = f.read(clen)
+        try:
+            d = zlib.decompressobj(wbits=-15)
+            data = d.decompress(cdata, 1 << 16)
+            if d.unconsumed_tail:
+                raise ValueError(
+                    "%s: BGZF block at offset %d exceeds the 64 KiB "
+                    "decompressed bound" % (self.path, coffset))
+        except zlib.error as e:
+            raise ValueError("%s: corrupt BGZF block at offset %d (%s)"
+                             % (self.path, coffset, e)) from None
         out = (data, coffset + bsize)
         with self._lock:
             self._cache[coffset] = out
@@ -343,6 +360,8 @@ class _BgzfCursor:
         return (c << 16) | o
 
     def take(self, n: int) -> Optional[bytes]:
+        if n < 0:  # a negative length from a corrupt size field
+            return None
         while self._avail < n:
             if not self._fill():
                 return None
@@ -376,29 +395,36 @@ class BaiIndex:
             raw = f.read()
         if raw[:4] != _BAI_MAGIC:
             raise ValueError("%s: not a BAI index" % path)
-        n_ref = struct.unpack_from("<i", raw, 4)[0]
-        off = 8
-        bins, linear = [], []
-        for _ in range(n_ref):
-            n_bin = struct.unpack_from("<i", raw, off)[0]
-            off += 4
-            bmap: Dict[int, List[Tuple[int, int]]] = {}
-            for _ in range(n_bin):
-                b, n_chunk = struct.unpack_from("<Ii", raw, off)
-                off += 8
-                chunks = []
-                for _ in range(n_chunk):
-                    cb, ce = struct.unpack_from("<QQ", raw, off)
-                    off += 16
-                    chunks.append((cb, ce))
-                if b != _PSEUDO_BIN:
-                    bmap[b] = chunks
-            n_intv = struct.unpack_from("<i", raw, off)[0]
-            off += 4
-            lin = list(struct.unpack_from("<%dQ" % n_intv, raw, off))
-            off += 8 * n_intv
-            bins.append(bmap)
-            linear.append(lin)
+        try:
+            n_ref = struct.unpack_from("<i", raw, 4)[0]
+            off = 8
+            bins, linear = [], []
+            if n_ref < 0:
+                raise ValueError("%s: negative n_ref" % path)
+            for _ in range(n_ref):
+                n_bin = struct.unpack_from("<i", raw, off)[0]
+                off += 4
+                bmap: Dict[int, List[Tuple[int, int]]] = {}
+                for _ in range(max(n_bin, 0)):
+                    b, n_chunk = struct.unpack_from("<Ii", raw, off)
+                    off += 8
+                    chunks = []
+                    for _ in range(max(n_chunk, 0)):
+                        cb, ce = struct.unpack_from("<QQ", raw, off)
+                        off += 16
+                        chunks.append((cb, ce))
+                    if b != _PSEUDO_BIN:
+                        bmap[b] = chunks
+                n_intv = struct.unpack_from("<i", raw, off)[0]
+                off += 4
+                lin = list(struct.unpack_from("<%dQ" % max(n_intv, 0),
+                                              raw, off))
+                off += 8 * max(n_intv, 0)
+                bins.append(bmap)
+                linear.append(lin)
+        except struct.error:
+            raise ValueError("%s: truncated or corrupt BAI index"
+                             % path) from None
         return cls(bins, linear)
 
     def write(self, path: str) -> None:
@@ -448,11 +474,18 @@ class _NativeUnavailable(Exception):
 
 
 def _decode_bam_record(rec: bytes, refs: Sequence[str]) -> AlignedRead:
+    # every length below comes from the (untrusted) file: validate
+    # against the actual record size before slicing
+    if len(rec) < 32:
+        raise ValueError("truncated BAM record (%d bytes)" % len(rec))
     (ref_id, pos, l_read_name, mapq, _bin, n_cigar_op, flag,
      l_seq, _next_ref, _next_pos, _tlen) = struct.unpack_from(
          "<iiBBHHHiiii", rec, 0)
+    if 32 + l_read_name + 4 * n_cigar_op > len(rec):
+        raise ValueError("corrupt BAM record: name/CIGAR fields overrun "
+                         "the record")
     p = 32
-    qname = rec[p:p + l_read_name - 1].decode()
+    qname = rec[p:p + l_read_name - 1].decode(errors="replace")
     p += l_read_name
     cigar_ops = struct.unpack_from("<%dI" % n_cigar_op, rec, p)
     cigar = "".join(
@@ -465,9 +498,13 @@ def _decode_bam_record(rec: bytes, refs: Sequence[str]) -> AlignedRead:
 
 def _bam_record_ref_span(rec: bytes) -> Tuple[int, int, int]:
     """(ref_id, pos, ref_end) decoded from the fixed fields + CIGAR only."""
+    if len(rec) < 32:
+        raise ValueError("truncated BAM record (%d bytes)" % len(rec))
     ref_id, pos, l_read_name = struct.unpack_from("<iiB", rec, 0)
     n_cigar_op = struct.unpack_from("<H", rec, 12)[0]
     p = 32 + l_read_name
+    if p + 4 * n_cigar_op > len(rec):
+        raise ValueError("corrupt BAM record: CIGAR overruns the record")
     span = 0
     for op in struct.unpack_from("<%dI" % n_cigar_op, rec, p):
         if (op & 0xF) in (0, 2, 3, 7, 8):  # M D N = X consume reference
@@ -489,15 +526,30 @@ class IndexedBamReader:
         magic = cur.take(4)
         if magic != b"BAM\x01":
             raise ValueError("%s: not a BAM file" % path)
-        l_text = struct.unpack("<i", cur.take(4))[0]
-        self.header_text = cur.take(l_text).decode(errors="replace")
-        n_ref = struct.unpack("<i", cur.take(4))[0]
+
+        def need(n, what):
+            # every length below is read from the (untrusted) file;
+            # take() returns None on truncation or a negative length
+            b = cur.take(n)
+            if b is None:
+                raise ValueError("%s: truncated or corrupt BAM header "
+                                 "(%s)" % (path, what))
+            return b
+
+        l_text = struct.unpack("<i", need(4, "l_text"))[0]
+        self.header_text = need(l_text, "header text").decode(
+            errors="replace")
+        n_ref = struct.unpack("<i", need(4, "n_ref"))[0]
+        if n_ref < 0:
+            raise ValueError("%s: negative n_ref in BAM header" % path)
         self.references: List[str] = []
         self.lengths: List[int] = []
         for _ in range(n_ref):
-            l_name = struct.unpack("<i", cur.take(4))[0]
-            self.references.append(cur.take(l_name)[:-1].decode())
-            self.lengths.append(struct.unpack("<i", cur.take(4))[0])
+            l_name = struct.unpack("<i", need(4, "l_name"))[0]
+            self.references.append(
+                need(l_name, "reference name")[:-1].decode(
+                    errors="replace"))
+            self.lengths.append(struct.unpack("<i", need(4, "l_ref"))[0])
         self._ref_ids = {n: i for i, n in enumerate(self.references)}
         self._aln_voffset = cur.vpos
         self._index: Optional[BaiIndex] = None
@@ -524,10 +576,15 @@ class IndexedBamReader:
         while True:
             szb = cur.take(4)
             if szb is None:
-                return
-            rec = cur.take(struct.unpack("<i", szb)[0])
+                return  # clean EOF between records
+            size = struct.unpack("<i", szb)[0]
+            if size < 32:  # below the fixed-field size: corrupt
+                raise ValueError("%s: corrupt BAM record size %d"
+                                 % (self.path, size))
+            rec = cur.take(size)
             if rec is None:
-                return
+                raise ValueError("%s: BAM truncated mid-record"
+                                 % self.path)
             yield rec
 
     # ---- native batch decode: windows of BGZF blocks scanned columnar
@@ -867,7 +924,7 @@ class IndexedBamReader:
                 co = scan.cigar_off
                 cbuf = scan.cigar_buf
                 for i in np.flatnonzero(sel):
-                    cg = cbuf[co[i]:co[i + 1]]
+                    cg = cbuf[co[i]:co[i + 1] - 1]  # strings NUL-packed
                     if cg == b"*":
                         continue
                     positions.append(int(scan.pos[i]))
@@ -938,7 +995,7 @@ class IndexedBamReader:
                 ql = scan.qname_len
                 for i in idxs:
                     qn_l.append(buf[qo[i]:qo[i] + ql[i]])
-                    cg_l.append(cbuf[co[i]:co[i + 1]])
+                    cg_l.append(cbuf[co[i]:co[i + 1] - 1])
                 pos_l.append(scan.pos[idxs])
                 flag_l.append(fl[idxs])
                 lseq_l.append(scan.l_seq[idxs])
@@ -979,6 +1036,106 @@ class IndexedBamReader:
             positions.extend((int(pos[i]), int(pos[j])))
             cigars.extend((c1.decode(), c2.decode()))
         return tuple(positions), tuple(cigars), len(positions) // 2
+
+    def scan_chrom_columnar(self, chrom: str,
+                            given_read_len: Optional[int] = None,
+                            strand_rule: Optional[str] = None,
+                            target_strand: Optional[str] = None
+                            ) -> Optional["ChromReads"]:
+        """ONE streaming decode of a whole chromosome into columnar
+        arrays, for catalog-scale ingest: per-gene region fetches then
+        become vectorized array slices (ChromReads.slice) instead of
+        repeated block decompress + scan passes.  Filters match
+        fetch_columnar exactly.  Returns None when the native scanner
+        is unavailable."""
+        import numpy as np
+        check_strand = not (strand_rule is None
+                            or strand_rule == "fr-unstranded"
+                            or target_strand is None)
+        if check_strand and strand_rule != "fr-firststrand":
+            raise ValueError("Unknown strandedness rule."
+                             if strand_rule != "fr-secondstrand"
+                             else "fr-secondstrand currently unsupported.")
+        tid = self._ref_ids.get(chrom)
+        if tid is None:
+            raise KeyError(chrom)
+        assert self._index is not None
+        clen = self.lengths[tid] if self.lengths[tid] > 0 else (1 << 31)
+        v0 = self._index.start_voffset(tid, 0, clen)
+        empty = ChromReads(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                           b"", np.zeros(0, np.int64))
+        if v0 is None:
+            return empty
+        pos_l: List[np.ndarray] = []
+        end_l: List[np.ndarray] = []
+        off_l: List[np.ndarray] = []
+        buf_l: List[bytes] = []
+        base = 0
+        try:
+            for scan, _voffs, _buf in self._scan_batches(v0):
+                ref = scan.ref_id
+                halt = np.flatnonzero((ref > tid) | (ref < 0))
+                stop = int(halt[0]) if halt.size else scan.n
+                sel = ((ref[:stop] == tid)
+                       & ((scan.flag[:stop] & FUNMAP) == 0))
+                if given_read_len is not None:
+                    sel &= scan.l_seq[:stop] == given_read_len
+                if check_strand:
+                    rev = (scan.flag[:stop] & FREVERSE) != 0
+                    sel &= rev if target_strand == "-" else ~rev
+                co = scan.cigar_off
+                # drop '*' CIGARs ("*\0" entries) vectorized
+                cb = np.frombuffer(scan.cigar_buf, np.uint8)
+                if cb.size:
+                    sel &= ~((co[1:stop + 1] - co[:stop] == 2)
+                             & (cb[co[:stop]] == 0x2A))
+                idxs = np.flatnonzero(sel)
+                pos_l.append(scan.pos[idxs].astype(np.int64))
+                end_l.append(scan.ref_end[idxs].astype(np.int64))
+                off_l.append(co[idxs] + base)
+                buf_l.append(scan.cigar_buf)
+                base += len(scan.cigar_buf)
+                if stop < scan.n:
+                    break
+        except _NativeUnavailable:
+            return None
+        if not pos_l:
+            return empty
+        return ChromReads(np.concatenate(pos_l), np.concatenate(end_l),
+                          b"".join(buf_l), np.concatenate(off_l))
+
+
+class ChromReads:
+    """A chromosome's reads as columnar arrays (positions sorted, as in
+    a coordinate-sorted BAM) with CIGARs in one packed NUL-terminated
+    buffer.  `slice` reproduces an indexed region fetch as two binary
+    searches + a mask -- no file IO, no per-read objects."""
+
+    __slots__ = ("pos", "ref_end", "cigar_buf", "cigar_off", "max_span")
+
+    def __init__(self, pos, ref_end, cigar_buf: bytes, cigar_off):
+        self.pos = pos
+        self.ref_end = ref_end
+        self.cigar_buf = cigar_buf
+        self.cigar_off = cigar_off
+        self.max_span = int((ref_end - pos).max()) if len(pos) else 1
+
+    def slice(self, start: int, end: int):
+        """(positions, PackedCigars, n) for the 0-based half-open
+        region, matching fetch_columnar's selection exactly
+        (pos < end and ref_end > start)."""
+        import numpy as np
+
+        from miso_tpu.core.matching import PackedCigars
+        i0 = int(np.searchsorted(self.pos, start - self.max_span + 1,
+                                 "left"))
+        i1 = int(np.searchsorted(self.pos, end, "left"))
+        m = self.ref_end[i0:i1] > start
+        idx = (np.arange(i0, i1) if m.all()
+               else i0 + np.flatnonzero(m))
+        return (self.pos[idx],
+                PackedCigars(self.cigar_buf, self.cigar_off[idx]),
+                len(idx))
 
 
 # ---------------------------------------------------------------------- BAM

@@ -122,8 +122,9 @@ class BamScan:
         self.consumed = consumed
 
     def cigar_str(self, i: int) -> str:
+        # cigar strings are NUL-terminated in the packed buffer
         return self.cigar_buf[self.cigar_off[i]:
-                              self.cigar_off[i + 1]].decode()
+                              self.cigar_off[i + 1] - 1].decode()
 
 
 def bam_scan(buf, start: int = 0,
@@ -165,17 +166,25 @@ def bam_scan(buf, start: int = 0,
 
 def match_iso_native(gene, positions: np.ndarray, cigars,
                      read_len: int, overhang: int) -> Optional[np.ndarray]:
-    """Native match matrix; None if the library is unavailable."""
+    """Native match matrix; None if the library is unavailable.
+
+    `cigars` is either a sequence of strings or a PackedCigars-style
+    object (``.buf`` NUL-terminated bytes + ``.offsets``), which the
+    matcher consumes zero-copy -- the whole-chromosome columnar ingest
+    path never materializes per-read strings."""
     lib = load()
     if lib is None:
         return None
     noiso = gene.num_isoforms
     n = len(positions)
     positions = np.ascontiguousarray(positions, dtype=np.int64)
-    # ONE encode of the whole join (per-read str.encode calls dominated
-    # the event-compile profile), then vectorized offset recovery from
-    # the NUL separators
-    if n:
+    if hasattr(cigars, "buf") and hasattr(cigars, "offsets"):
+        cigar_buf = cigars.buf
+        offsets = np.ascontiguousarray(cigars.offsets, np.int64)
+    elif n:
+        # ONE encode of the whole join (per-read str.encode calls
+        # dominated the event-compile profile), then vectorized offset
+        # recovery from the NUL separators
         cigar_buf = ("\x00".join(cigars) + "\x00").encode()
         nuls = np.flatnonzero(np.frombuffer(cigar_buf, np.uint8) == 0)
         offsets = np.concatenate([np.zeros(1, np.int64), nuls[:-1] + 1])

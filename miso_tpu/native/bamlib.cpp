@@ -61,8 +61,10 @@ extern "C" {
 //   ref_end[i]          pos + reference span from CIGAR (>= pos + 1)
 //   qname_off[i]/qname_len[i]       read name location in buf (no NUL)
 //   cigar_off[i]        start of the record's CIGAR string in cigar_buf
-//                       ("*" when n_cigar_op == 0); strings are packed
-//                       back-to-back, cigar_off[count] = total length
+//                       ("*" when n_cigar_op == 0); each string is
+//                       NUL-terminated (so the matcher can consume the
+//                       buffer in place), packed back-to-back;
+//                       cigar_off[count] = total length incl. NULs
 // Stops early (without error) on a record that is incomplete in the
 // window or whose CIGAR text would overflow cigar_cap.  Returns the
 // number of whole records decoded, or -1 on a structurally invalid
@@ -85,10 +87,13 @@ int64_t miso_bam_scan(
         const uint8_t* r = buf + off + 4;
         const int32_t l_read_name = r[8];
         const uint16_t n_cigar = rd_u16(r + 12);
-        // worst case 10 digits + 1 op per cigar element, or "*"
-        if (cpos + (n_cigar ? int64_t(n_cigar) * 11 : 1) + 1 > cigar_cap)
-            break;
+        // structural validity FIRST: a field overrun is corruption and
+        // must error; only a genuinely big record may break to let the
+        // caller grow the window (and with it cigar_cap)
         if (32 + l_read_name + int64_t(n_cigar) * 4 > rec_sz) return -1;
+        // worst case 10 digits + 1 op per cigar element, or "*", + NUL
+        if (cpos + (n_cigar ? int64_t(n_cigar) * 11 : 1) + 2 > cigar_cap)
+            break;
         rec_off[count] = off;
         ref_id[count] = rd_i32(r);
         pos[count] = rd_i32(r + 4);
@@ -114,6 +119,7 @@ int64_t miso_bam_scan(
                     span += len;
             }
         }
+        cigar_buf[cpos++] = '\0';
         ref_end[count] = pos[count] + int32_t(span > 0 ? span : 1);
         off += 4 + rec_sz;
         ++count;

@@ -105,14 +105,17 @@ def compile_gene_event(
     # +1: 0-based alignment positions -> 1-based matcher coordinates
     # (miso_sampler.py:284)
     pos1 = np.asarray(positions, dtype=np.int64) + 1
+    # PackedCigars pass through untouched (the native matcher consumes
+    # the packed buffer zero-copy); only plain sequences are listified
+    cig = cigars if hasattr(cigars, "buf") else list(cigars)
     if cfg.paired_end:
         ev = compile_paired_end(
-            gene, pos1, list(cigars), read_len=cfg.read_len,
+            gene, pos1, cig, read_len=cfg.read_len,
             mean_frag_len=cfg.mean_frag_len, frag_variance=cfg.frag_variance,
             num_sds=cfg.num_sds, overhang=cfg.overhang_len, name=name)
     else:
         ev = compile_single_end(
-            gene, pos1, list(cigars), read_len=cfg.read_len,
+            gene, pos1, cig, read_len=cfg.read_len,
             overhang=cfg.overhang_len, name=name, algorithm=cfg.algorithm)
     if not ev.any_compatible:
         return None
@@ -408,6 +411,31 @@ def compute_all_genes_psi(
         id_to_fname = {g: id_to_fname[g] for g in gene_ids if g in id_to_fname}
     alignments = sam_io.open_alignments(alignments_path)
 
+    # whole-chromosome columnar scans, LRU-bounded (items are sorted by
+    # per-chromosome pickle path, so at most ~2 chromosomes are live)
+    import collections
+    import threading
+    scan_cache: "collections.OrderedDict" = collections.OrderedDict()
+    scan_lock = threading.Lock()
+
+    def chrom_scan(chrom, strand):
+        if not hasattr(alignments, "scan_chrom_columnar"):
+            return None
+        unstranded = cfg.strand_rule in (None, "fr-unstranded")
+        key = (chrom, None if unstranded else strand)
+        with scan_lock:
+            if key in scan_cache:
+                scan_cache.move_to_end(key)
+                return scan_cache[key]
+            scan = alignments.scan_chrom_columnar(
+                chrom, given_read_len=cfg.filter_read_len,
+                strand_rule=cfg.strand_rule,
+                target_strand=None if unstranded else strand)
+            scan_cache[key] = scan
+            while len(scan_cache) > 4:
+                scan_cache.popitem(last=False)
+            return scan
+
     def compile_one(item):
         gene_id, pickle_fname = item
         entry = load_indexed_gene(pickle_fname)[gene_id]
@@ -426,7 +454,10 @@ def compute_all_genes_psi(
         if hasattr(alignments, "fetch_columnar"):
             # columnar ingest: native batch decode (and native qname
             # pairing for paired-end) straight to (positions, cigars),
-            # no per-read Python objects
+            # no per-read Python objects.  Single-end unstranded genes
+            # read from ONE whole-chromosome scan (region fetches become
+            # array slices; see sam.ChromReads) -- at catalog scale the
+            # repeated per-gene block decode dominated host compile.
             col = None
             try:
                 if cfg.paired_end:
@@ -436,11 +467,16 @@ def compute_all_genes_psi(
                         strand_rule=cfg.strand_rule,
                         target_strand=gene.strand)
                 else:
-                    col = alignments.fetch_columnar(
-                        gene.chrom, lo - 1, hi,
-                        given_read_len=cfg.filter_read_len,
-                        strand_rule=cfg.strand_rule,
-                        target_strand=gene.strand)
+                    scan = chrom_scan(gene.chrom, gene.strand)
+                    if scan is not None:
+                        p, cg, n = scan.slice(lo - 1, hi)
+                        col = (p, cg, n)
+                    else:
+                        col = alignments.fetch_columnar(
+                            gene.chrom, lo - 1, hi,
+                            given_read_len=cfg.filter_read_len,
+                            strand_rule=cfg.strand_rule,
+                            target_strand=gene.strand)
             except KeyError:
                 pass  # chr-prefix fallback below
             if col is not None:
@@ -453,7 +489,9 @@ def compute_all_genes_psi(
             given_read_len=cfg.filter_read_len)
         return compile_gene_event(gene, out_name, reads, cfg)
 
-    items = sorted(id_to_fname.items())
+    # group by per-chromosome pickle directory so the whole-chromosome
+    # scan cache stays small, then by gene id for determinism
+    items = sorted(id_to_fname.items(), key=lambda kv: (kv[1], kv[0]))
     if items and getattr(alignments, "references", None):
         # build the region index once before fanning out threads
         list(alignments.fetch(alignments.references[0], 0, 0))

@@ -362,9 +362,14 @@ def _plot_posterior_axis(ax, samples, settings, show_x_axis=True):
 def plot_event(event_name: str, index_dir: str, settings_filename: str,
                output_dir: str, no_posteriors: bool = False,
                plot_title: Optional[str] = None,
-               plot_label: Optional[str] = None) -> str:
+               plot_label: Optional[str] = None,
+               return_figure: bool = False):
     """--plot-event: densities + arcs per sample, mRNA track, posteriors.
-    Ref: misopy/sashimi_plot/sashimi_plot.py:108-154."""
+    Ref: misopy/sashimi_plot/sashimi_plot.py:108-154.
+
+    return_figure=True also returns the (open) matplotlib Figure so the
+    golden-structure regression test can assert axis ranges, arc
+    counts, and tick order (tests/test_sashimi_golden.py)."""
     from miso_tpu.io.index import get_gene_ids_to_filenames, load_indexed_gene
     from miso_tpu.io.miso_file import MISOSamples
     from miso_tpu.io.sam import fetch_bam_reads_in_gene, open_alignments
@@ -447,8 +452,10 @@ def plot_event(event_name: str, index_dir: str, settings_filename: str,
     out_name = (plot_label or event_name).replace("/", "_") + ".pdf"
     out_path = os.path.join(output_dir, out_name)
     fig.savefig(out_path, bbox_inches="tight")
-    plt.close(fig)
     print("Saved plot to %s" % out_path)
+    if return_figure:
+        return out_path, fig
+    plt.close(fig)
     return out_path
 
 

@@ -324,3 +324,40 @@ def test_fetch_columnar_stranded_matches_parse_reads(paired_bam):
             reader.fetch("chrP", 0, 10 ** 9),
             strand_rule="fr-firststrand", target_strand=target)
         assert col[2] == n and col[0] == pos and col[1] == cig
+
+
+def test_scan_chrom_columnar_slice_matches_fetch_columnar(big_bam):
+    """Whole-chromosome scan + region slice == per-region columnar
+    fetch == fetch + sam_parse_reads, for every selection filter."""
+    from miso_tpu import native
+    from miso_tpu.io.sam import sam_parse_reads
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(big_bam)
+    chrom = reader.references[0]
+    scan = reader.scan_chrom_columnar(chrom)
+    for s, e in [(0, 10 ** 9), (1500, 5200), (800, 801), (10 ** 8, 10 ** 9)]:
+        p, cg, n = scan.slice(s, e)
+        col = reader.fetch_columnar(chrom, s, e)
+        assert n == col[2]
+        assert tuple(int(x) for x in p) == col[0]
+        assert tuple(cg) == col[1]
+    # read-length filter variant
+    scan35 = reader.scan_chrom_columnar(chrom, given_read_len=35)
+    assert scan35.slice(0, 10 ** 9)[2] == \
+        reader.fetch_columnar(chrom, 0, 10 ** 9, given_read_len=35)[2]
+
+
+def test_scan_chrom_columnar_stranded(paired_bam):
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(paired_bam)
+    for target in ("+", "-"):
+        scan = reader.scan_chrom_columnar(
+            "chrP", strand_rule="fr-firststrand", target_strand=target)
+        p, cg, n = scan.slice(0, 10 ** 9)
+        col = reader.fetch_columnar(
+            "chrP", 0, 10 ** 9, strand_rule="fr-firststrand",
+            target_strand=target)
+        assert n == col[2] and tuple(cg) == col[1]
