@@ -27,7 +27,10 @@ _INC, _EXC, _BOTH = (1, 0), (0, 1), (1, 1)
 def get_counts(counts_str: str) -> Optional[Tuple[int, int, int]]:
     """(inclusion, exclusion, both) read counts from a counts= field;
     None when unparseable or not a two-isoform event
-    (the contract of filter_events.py:27-59)."""
+    (the contract of filter_events.py:27-59).  Multi-isoform count
+    strings are rejected BY DESIGN, exactly as the reference's
+    count-based filters are two-isoform-only -- events with >2 isoforms
+    pass through count filters unfiltered."""
     try:
         class_counts = ast.literal_eval("{%s}" % counts_str)
     except (ValueError, SyntaxError):

@@ -215,56 +215,68 @@ def paired_assignment_matrix(
     frag_prob = frag_prob / frag_prob.sum()
     il = len(frag_prob)
     exons = [gene.iso_exons(i) for i in range(noiso)]
-    cigar_cache: Dict[Tuple[int, int], Optional[Tuple[int, ...]]] = {}
+    # global cigar interning: Python work is O(unique genomic positions)
+    # only; the (start x fragment-length) enumeration itself is numpy
+    cigar_ids: Dict[Tuple[int, ...], int] = {}
 
-    def cig(iso: int, gpos: int) -> Optional[Tuple[int, ...]]:
-        key = (iso, gpos)
-        hit = cigar_cache.get(key, "miss")
-        if hit != "miss":
-            return hit
+    def cigar_id_map(iso: int, gposes: np.ndarray) -> np.ndarray:
+        """ids (-1 = invalid cigar) for unique genomic positions."""
         starts, ends = exons[iso]
-        out = local_cigar(starts, ends, gpos, read_len)
-        cigar_cache[key] = out
+        out = np.empty(len(gposes), np.int64)
+        for j, gp in enumerate(gposes):
+            c = local_cigar(starts, ends, int(gp), read_len)
+            if c is None:
+                out[j] = -1
+            else:
+                out[j] = cigar_ids.setdefault(c, len(cigar_ids))
         return out
 
-    # signature -> per-isoform fragment-prob value
-    sig_values: Dict[Tuple, np.ndarray] = {}
+    rows_l: List[np.ndarray] = []
+    w_l: List[np.ndarray] = []
+    iso_l: List[np.ndarray] = []
     for i in range(noiso):
         L_i = gene.iso_length(i)
+        g1_l, g2_l, p_l = [], [], []
         for frag_idx in range(il):
             frag = frag_start + frag_idx
             if frag > L_i or frag < read_len:
                 continue
-            p = frag_prob[frag_idx]
             n_starts = L_i - frag + 1
             s_arr = np.arange(1, n_starts + 1)
-            g1 = gene.iso_to_genomic(i, s_arr)
-            g2 = gene.iso_to_genomic(i, s_arr + frag - read_len)
-            for s in range(n_starts):
-                c1 = cig(i, int(g1[s]))
-                c2 = cig(i, int(g2[s]))
-                if c1 is None or c2 is None:
-                    continue
-                sig = (int(g1[s]), c1, int(g2[s]), c2)
-                vals = sig_values.get(sig)
-                if vals is None:
-                    vals = np.zeros(noiso)
-                    sig_values[sig] = vals
-                vals[i] += p
-    # collapse by support pattern (assignment.c simplify)
-    support: Dict[Tuple[int, ...], np.ndarray] = {}
-    for vals in sig_values.values():
-        key = tuple((vals > 0).astype(int))
-        acc = support.get(key)
-        if acc is None:
-            support[key] = vals.copy()
-        else:
-            acc += vals
-    keys = sorted(support)
-    mat = np.zeros((noiso, len(keys)))
-    for col, key in enumerate(keys):
-        mat[:, col] = support[key]
-    return mat
+            g1_l.append(gene.iso_to_genomic(i, s_arr))
+            g2_l.append(gene.iso_to_genomic(i, s_arr + frag - read_len))
+            p_l.append(np.full(n_starts, frag_prob[frag_idx]))
+        if not g1_l:
+            continue
+        g1 = np.concatenate(g1_l)
+        g2 = np.concatenate(g2_l)
+        p = np.concatenate(p_l)
+        gall = np.concatenate([g1, g2])
+        uniq, inv = np.unique(gall, return_inverse=True)
+        cids = cigar_id_map(i, uniq)[inv]
+        c1, c2 = cids[:len(g1)], cids[len(g1):]
+        ok = (c1 >= 0) & (c2 >= 0)
+        rows_l.append(np.stack([g1[ok], c1[ok], g2[ok], c2[ok]], axis=1))
+        w_l.append(p[ok])
+        iso_l.append(np.full(int(ok.sum()), i, np.int64))
+    if not rows_l:
+        return np.zeros((noiso, 0))
+    rows = np.concatenate(rows_l)
+    w = np.concatenate(w_l)
+    iso = np.concatenate(iso_l)
+    # per-signature per-isoform fragment-prob sums
+    _, inv = np.unique(rows, axis=0, return_inverse=True)
+    sig_vals = np.zeros((inv.max() + 1, noiso))
+    np.add.at(sig_vals, (inv, iso), w)
+    # collapse by support pattern (assignment.c simplify), columns in
+    # lexicographic support order as before
+    supp = sig_vals > 0
+    patterns, pinv = np.unique(supp, axis=0, return_inverse=True)
+    mat_t = np.zeros((len(patterns), noiso))
+    np.add.at(mat_t, pinv, sig_vals)
+    # np.unique's row order IS ascending lexicographic, matching the
+    # previous sorted(support-tuples) column order
+    return mat_t.T
 
 
 def solve_gene_paired(

@@ -75,19 +75,42 @@ def write_miso_file(
            assigned_counts_str(final_n, event.num_iso), chrom, strand,
            mrna_starts, mrna_ends))
     os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
-    # vectorized row formatting (hot path: thousands of events x
-    # thousands of samples)
-    psi_cols = np.char.mod("%.4f", np.asarray(psi_samples, np.float64))
-    rows = psi_cols[:, 0]
-    for c in range(1, psi_cols.shape[1]):
-        rows = np.char.add(np.char.add(rows, ","), psi_cols[:, c])
-    score_col = np.char.mod("%.2f", np.asarray(log_scores, np.float64))
-    lines = np.char.add(np.char.add(rows, "\t"), score_col)
-    with open(output_file, "w") as f:
-        f.write(header)
-        f.write("sampled_psi\tlog_score\n")
-        f.write("\n".join(lines.tolist()))
-        f.write("\n")
+    body = _format_sample_block(np.asarray(psi_samples, np.float64),
+                                np.asarray(log_scores, np.float64))
+    with open(output_file, "wb") as f:
+        f.write(header.encode())
+        f.write(b"sampled_psi\tlog_score\n")
+        f.write(body)
+
+
+# psi values are written at 1e-4 resolution, so every cell is one of
+# 10001 strings: a bytes lookup table makes the per-sample formatting a
+# C-speed fancy index instead of a Python-level "%.4f" per element
+# (np.char.mod was ~7 ms/event at the default 2700 samples -- the
+# dominant cost of a catalog-scale run's output phase)
+_PSI_LUT = np.array([("%.4f" % (i / 1e4)).encode() for i in range(10001)],
+                    dtype="S6")
+
+
+def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
+    """The sample lines ('psi1,psi2,...\\tlogscore\\n') as one bytes
+    blob, byte-identical to '%.4f'/'%.2f' formatting."""
+    S, I = psi.shape
+    q = np.clip(np.round(psi * 1e4), 0, 10000).astype(np.int64)
+    pc = _PSI_LUT[q]                      # (S, I) 'S6'
+    W = 6 * I + (I - 1)
+    M = np.empty((S, W), dtype="S1")
+    u = pc.view("S1").reshape(S, I, 6)
+    col = 0
+    for i in range(I):
+        M[:, col:col + 6] = u[:, i]
+        col += 6
+        if i < I - 1:
+            M[:, col] = b","
+            col += 1
+    rows = M.view("S%d" % W).ravel()
+    sc = [b"%.2f" % s for s in scores]
+    return b"\n".join(b"%s\t%s" % p for p in zip(rows, sc)) + b"\n"
 
 
 # ------------------------------------------------------------------ reading

@@ -1252,6 +1252,13 @@ def open_alignments(path: str):
     built in a single pass and persisted."""
     if path.endswith(".bam"):
         return IndexedBamReader(path)
+    try:
+        if os.path.getsize(path) > 512 * 1024 * 1024:
+            print("Warning: %s is a large text SAM; it will be loaded "
+                  "fully into memory.  Convert with sam_to_bam for "
+                  "O(region) streaming access." % path)
+    except OSError:
+        pass
     return SamFile(path)
 
 

@@ -310,14 +310,31 @@ def run_events(
                                 start_psi=sp_j)
             # fetch psi quantized to 1e-4 on device: exactly the .miso
             # output precision ("%.4f"), at a quarter of the bytes --
-            # device->host transfer dominates on remote runtimes.  The
-            # transfers are NOT forced here: pending chunks materialize
-            # after every chunk has been dispatched, so bucket N's
-            # readback overlaps bucket N+1's device execution.
-            quant = jnp.round(res.flat_samples() * 1e4).astype(jnp.uint16)
+            # device->host transfer dominates on remote runtimes.
+            # 2-isoform buckets (the dominant class) fetch ONLY column
+            # 0; psi_2 = 1 - psi_1 reconstructs on the host.  Recorded
+            # log-scores travel as per-event-offset uint16 centipoints
+            # (the ".2f" output precision); rare events whose score
+            # range exceeds the uint16 span fall back to their f32
+            # rows.  Transfers are NOT forced here: pending chunks
+            # materialize after every chunk has been dispatched, so
+            # bucket N's readback overlaps bucket N+1's execution.
+            flat_psi = res.flat_samples()
+            if pad_iso == 2:
+                quant = jnp.round(flat_psi[:, :, 0] * 1e4
+                                  ).astype(jnp.uint16)
+            else:
+                quant = jnp.round(flat_psi * 1e4).astype(jnp.uint16)
+            ll = res.flat_loglik()
+            cents = jnp.round(ll * 100.0)
+            cmin = jnp.min(cents, axis=1)
+            cmax = jnp.max(cents, axis=1)
+            resid = jnp.clip(cents - cmin[:, None], 0, 65535
+                             ).astype(jnp.uint16)
             pending.append({
-                "chunk": chunk, "quant": quant,
-                "loglik": res.flat_loglik(), "accepted": res.accepted,
+                "chunk": chunk, "quant": quant, "two_iso": pad_iso == 2,
+                "ll_min": cmin, "ll_max": cmax, "ll_resid": resid,
+                "ll_full": ll, "accepted": res.accepted,
                 "rejected": res.rejected, "final_n": res.final_n,
                 "final_psi": res.final_psi, "backend": backend,
                 "t0": t_bucket,
@@ -325,8 +342,24 @@ def run_events(
 
     for p in pending:
         chunk = p["chunk"]
-        flat = np.asarray(p["quant"]).astype(np.float32) / 1e4
-        loglik = np.asarray(p["loglik"])
+        q = np.asarray(p["quant"])
+        if p["two_iso"]:
+            c0 = q.astype(np.float64) / 1e4
+            flat = np.stack([c0, 1.0 - c0], axis=-1)
+        else:
+            flat = q.astype(np.float32) / 1e4
+        cmin = np.asarray(p["ll_min"]).astype(np.float64)
+        cmax = np.asarray(p["ll_max"]).astype(np.float64)
+        loglik = (np.asarray(p["ll_resid"]).astype(np.float64)
+                  + cmin[:, None]) / 100.0
+        # padded events carry NaN score rows (masked lanes); only the
+        # real rows matter, and only they may need the f32 fallback
+        n_real = len(chunk)
+        with np.errstate(invalid="ignore"):
+            wide = np.flatnonzero(
+                (cmax[:n_real] - cmin[:n_real]) > 65535)
+        for i in wide:  # fetch just those rows at full precision
+            loglik[i] = np.asarray(p["ll_full"][int(i)])
         accepted = np.asarray(p["accepted"])
         rejected = np.asarray(p["rejected"])
         final_n = np.asarray(p["final_n"])
@@ -361,11 +394,10 @@ def write_event_results(
     results: List[Optional[dict]],
     output_dir: str,
     cfg: RunConfig,
+    workers: int = 4,
 ) -> int:
-    written = 0
-    for ev, res in zip(events, results):
-        if res is None:
-            continue
+    def write_one(pair):
+        ev, res = pair
         path = event_output_path(output_dir, ev.gene, ev.name)
         write_miso_file(
             path, ev, res["samples"], res["loglik"],
@@ -373,8 +405,15 @@ def write_event_results(
             iters=res.get("iters", cfg.iters),
             burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
             percent_accept=res["percent_accept"], final_n=res["final_n"])
-        written += 1
-    return written
+        return 1
+
+    todo = [(ev, res) for ev, res in zip(events, results)
+            if res is not None]
+    if workers > 1 and len(todo) > 64:
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(max_workers=workers) as pool:
+            return sum(pool.map(write_one, todo))
+    return sum(map(write_one, todo))
 
 
 def compute_all_genes_psi(
