@@ -94,12 +94,15 @@ _PSI_LUT = np.array([("%.4f" % (i / 1e4)).encode() for i in range(10001)],
 
 def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
     """The sample lines ('psi1,psi2,...\\tlogscore\\n') as one bytes
-    blob, byte-identical to '%.4f'/'%.2f' formatting."""
+    blob, matching '%.4f'/'%.2f' formatting.  Fully vectorized: the psi
+    block is a fixed-width byte matrix, the variable-width score column
+    is assembled right-aligned against each line's end with masked
+    scatters -- no per-sample Python."""
     S, I = psi.shape
     q = np.clip(np.round(psi * 1e4), 0, 10000).astype(np.int64)
     pc = _PSI_LUT[q]                      # (S, I) 'S6'
     W = 6 * I + (I - 1)
-    M = np.empty((S, W), dtype="S1")
+    M = np.empty((S, W + 1), dtype="S1")
     u = pc.view("S1").reshape(S, I, 6)
     col = 0
     for i in range(I):
@@ -108,9 +111,43 @@ def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
         if i < I - 1:
             M[:, col] = b","
             col += 1
-    rows = M.view("S%d" % W).ravel()
-    sc = [b"%.2f" % s for s in scores]
-    return b"\n".join(b"%s\t%s" % p for p in zip(rows, sc)) + b"\n"
+    M[:, W] = b"\t"
+    blk = M.view(np.uint8).reshape(S, W + 1)
+
+    cents = np.round(np.asarray(scores, np.float64) * 100.0).astype(
+        np.int64)
+    neg = cents < 0
+    a = np.abs(cents)
+    ip = a // 100
+    frac = a % 100
+    # integer-part digit counts (>= 1)
+    nd = np.ones(S, np.int64)
+    t = 10
+    while (ip >= t).any():
+        nd += ip >= t
+        t *= 10
+    score_len = neg + nd + 3              # sign + digits + '.' + 2
+    line_len = (W + 1) + score_len + 1    # + '\n'
+    off = np.zeros(S + 1, np.int64)
+    np.cumsum(line_len, out=off[1:])
+    out = np.empty(off[-1], np.uint8)
+    out[off[:-1, None] + np.arange(W + 1)[None, :]] = blk
+    end = off[1:]                         # one past each line
+    out[end - 1] = 0x0A                   # '\n'
+    out[end - 2] = 0x30 + (frac % 10)
+    out[end - 3] = 0x30 + (frac // 10)
+    out[end - 4] = 0x2E                   # '.'
+    k, t = 0, 1
+    max_nd = int(nd.max())
+    while k < max_nd:
+        m = k < nd
+        out[end[m] - 5 - k] = 0x30 + (ip[m] // t) % 10
+        k += 1
+        t *= 10
+    m = neg
+    if m.any():
+        out[end[m] - 5 - nd[m]] = 0x2D    # '-'
+    return out.tobytes()
 
 
 # ------------------------------------------------------------------ reading

@@ -165,6 +165,7 @@ def run_events(
     seed: int = 0,
     mesh="auto",
     bucket_stats: Optional[list] = None,
+    on_chunk=None,
 ):
     """Run compiled events through the device sampler, bucketed by shape.
 
@@ -183,6 +184,10 @@ def run_events(
     on remote runtimes).  Chunk event axes are padded to a bounded shape
     set (powers of two up to max_batch_events, via _pow2_pad_events) so
     arbitrary catalog sizes never mint new compile shapes.
+
+    `on_chunk(indices, results)`, if given, fires as soon as each
+    chunk's results land in the output list -- the caller can start
+    writing files while later chunks are still transferring.
 
     Returns a list parallel to `events` of per-event result dicts.
     """
@@ -281,6 +286,8 @@ def run_events(
                         "events": len(chunk), "seconds": dt,
                         "events_per_s": len(chunk) / max(dt, 1e-9),
                         "stop": "convergent"})
+                if on_chunk is not None:
+                    on_chunk(chunk, out)
                 continue
             # bounded compile shapes: pad the event axis to a power of
             # two (full chunks of max_batch_events stay untouched when
@@ -386,6 +393,8 @@ def run_events(
                 "events": len(chunk), "seconds": dt,
                 "events_per_s": len(chunk) / max(dt, 1e-9),
                 "backend": p["backend"]})
+        if on_chunk is not None:
+            on_chunk(chunk, out)
     return out
 
 
@@ -536,8 +545,17 @@ def compute_all_genes_psi(
         list(alignments.fetch(alignments.references[0], 0, 0))
     # the native matcher releases the GIL inside ctypes calls, so event
     # compilation threads scale on real catalogs (the reference's
-    # num_processors knob, settings.py:148, repurposed host-side)
+    # num_processors knob, settings.py:148, repurposed host-side).
+    # With the whole-chromosome scan path the per-gene work is
+    # GIL-bound numpy slicing -- threads only contend there (measured
+    # 2x SLOWER at 10k genes), so single-end native catalogs compile
+    # single-threaded.
     workers = max(1, (settings.get_num_processors() or 1))
+    if (not cfg.paired_end
+            and hasattr(alignments, "scan_chrom_columnar")):
+        from miso_tpu import native
+        if native.load() is not None:
+            workers = 1
     if workers > 1 and len(items) > 64:
         from concurrent.futures import ThreadPoolExecutor
         with ThreadPoolExecutor(max_workers=workers) as pool:
@@ -555,17 +573,42 @@ def compute_all_genes_psi(
     import jax
 
     bucket_stats: List[dict] = []
+    # stream writes: as each chunk's results land on the host, its
+    # .miso files format+write on a small pool while later chunks are
+    # still transferring from the device
+    from concurrent.futures import ThreadPoolExecutor
+    write_pool = ThreadPoolExecutor(max_workers=4)
+    write_futures = []
+
+    def on_chunk(idxs, out):
+        for i in idxs:
+            res = out[i]
+            if res is None:
+                continue
+            ev = events[i]
+            path = event_output_path(output_dir, ev.gene, ev.name)
+            write_futures.append(write_pool.submit(
+                write_miso_file, path, ev, res["samples"], res["loglik"],
+                iters=res.get("iters", cfg.iters),
+                burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
+                percent_accept=res["percent_accept"],
+                final_n=res["final_n"]))
+
     if profile_dir:
         os.makedirs(profile_dir, exist_ok=True)
         with jax.profiler.trace(profile_dir):
-            results = run_events(events, cfg, seed=seed, mesh=mesh,
-                                 bucket_stats=bucket_stats)
+            run_events(events, cfg, seed=seed, mesh=mesh,
+                       bucket_stats=bucket_stats, on_chunk=on_chunk)
         if verbose:
             print("jax.profiler trace written to %s" % profile_dir)
     else:
-        results = run_events(events, cfg, seed=seed, mesh=mesh,
-                             bucket_stats=bucket_stats)
-    written = write_event_results(events, results, output_dir, cfg)
+        run_events(events, cfg, seed=seed, mesh=mesh,
+                   bucket_stats=bucket_stats, on_chunk=on_chunk)
+    written = 0
+    for f in write_futures:
+        f.result()
+        written += 1
+    write_pool.shutdown()
     if verbose:
         dt = time.time() - t0
         n_dev = max(1, len(jax.local_devices()))
