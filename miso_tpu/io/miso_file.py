@@ -99,6 +99,8 @@ def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
     is assembled right-aligned against each line's end with masked
     scatters -- no per-sample Python."""
     S, I = psi.shape
+    if S == 0:
+        return b""
     q = np.clip(np.round(psi * 1e4), 0, 10000).astype(np.int64)
     pc = _PSI_LUT[q]                      # (S, I) 'S6'
     W = 6 * I + (I - 1)
@@ -114,9 +116,11 @@ def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
     M[:, W] = b"\t"
     blk = M.view(np.uint8).reshape(S, W + 1)
 
-    cents = np.round(np.asarray(scores, np.float64) * 100.0).astype(
-        np.int64)
-    neg = cents < 0
+    scores = np.asarray(scores, np.float64)
+    cents = np.round(scores * 100.0).astype(np.int64)
+    # sign from the VALUE, not the rounded cents: '%.2f' % -0.004 is
+    # '-0.00' (signbit also covers a literal -0.0)
+    neg = np.signbit(scores)
     a = np.abs(cents)
     ip = a // 100
     frac = a % 100

@@ -890,13 +890,7 @@ class IndexedBamReader:
         import numpy as np
         if end <= start:
             return (), (), 0
-        check_strand = not (strand_rule is None
-                            or strand_rule == "fr-unstranded"
-                            or target_strand is None)
-        if check_strand and strand_rule != "fr-firststrand":
-            raise ValueError("Unknown strandedness rule."
-                             if strand_rule != "fr-secondstrand"
-                             else "fr-secondstrand currently unsupported.")
+        check_strand = _validate_strand_rule(strand_rule, target_strand)
         tid = self._ref_ids.get(chrom)
         if tid is None:
             raise KeyError(chrom)
@@ -962,8 +956,9 @@ class IndexedBamReader:
         from miso_tpu import native
         if end <= start:
             return (), (), 0
-        if strand_rule == "fr-secondstrand":
-            raise ValueError("fr-secondstrand currently unsupported.")
+        # same validation as the Python fallback: unknown rules (and
+        # fr-secondstrand) must error identically on both paths
+        _validate_strand_rule(strand_rule, target_strand)
         tid = self._ref_ids.get(chrom)
         if tid is None:
             raise KeyError(chrom)
@@ -1049,13 +1044,7 @@ class IndexedBamReader:
         fetch_columnar exactly.  Returns None when the native scanner
         is unavailable."""
         import numpy as np
-        check_strand = not (strand_rule is None
-                            or strand_rule == "fr-unstranded"
-                            or target_strand is None)
-        if check_strand and strand_rule != "fr-firststrand":
-            raise ValueError("Unknown strandedness rule."
-                             if strand_rule != "fr-secondstrand"
-                             else "fr-secondstrand currently unsupported.")
+        check_strand = _validate_strand_rule(strand_rule, target_strand)
         tid = self._ref_ids.get(chrom)
         if tid is None:
             raise KeyError(chrom)
@@ -1425,6 +1414,24 @@ def pair_sam_reads(reads: Iterable[AlignedRead],
     if return_unpaired:
         return paired, unpaired
     return paired
+
+
+def _validate_strand_rule(strand_rule: Optional[str],
+                          target_strand: Optional[str]) -> bool:
+    """Shared columnar-path validation, mirroring read_matches_strand's
+    semantics exactly (misopy/sam_utils.py:313-350): returns whether a
+    strand check applies; raises on an unknown (or the unsupported
+    fr-secondstrand) rule ONLY when a target strand is present -- with
+    no target the Python path never consults the rule, so neither do
+    the columnar paths."""
+    if (strand_rule is None or strand_rule == "fr-unstranded"
+            or target_strand is None):
+        return False
+    if strand_rule == "fr-secondstrand":
+        raise ValueError("fr-secondstrand currently unsupported.")
+    if strand_rule != "fr-firststrand":
+        raise ValueError("Unknown strandedness rule.")
+    return True
 
 
 def read_matches_strand(read, target_strand: str, strand_rule: Optional[str],

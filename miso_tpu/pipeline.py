@@ -204,6 +204,56 @@ def run_events(
         chains=cfg.chains, algorithm=cfg.algorithm)
     out: List[Optional[dict]] = [None] * len(events)
     pending: List[dict] = []
+
+    def _materialize_chunk(p: dict) -> None:
+        chunk = p["chunk"]
+        q = np.asarray(p["quant"])
+        if p["two_iso"]:
+            c0 = q.astype(np.float64) / 1e4
+            flat = np.stack([c0, 1.0 - c0], axis=-1)
+        else:
+            flat = q.astype(np.float32) / 1e4
+        cmin = np.asarray(p["ll_min"]).astype(np.float64)
+        cmax = np.asarray(p["ll_max"]).astype(np.float64)
+        loglik = (np.asarray(p["ll_resid"]).astype(np.float64)
+                  + cmin[:, None]) / 100.0
+        # padded events carry NaN score rows (masked lanes); only the
+        # real rows matter, and only they may need the f32 fallback
+        n_real = len(chunk)
+        with np.errstate(invalid="ignore"):
+            wide = np.flatnonzero(
+                (cmax[:n_real] - cmin[:n_real]) > 65535)
+        for i in wide:  # fetch just those rows at full precision
+            loglik[i] = np.asarray(p["ll_full"][int(i)])
+        accepted = np.asarray(p["accepted"])
+        rejected = np.asarray(p["rejected"])
+        final_n = np.asarray(p["final_n"])
+        final_psi = np.asarray(p["final_psi"])
+        for j, i in enumerate(chunk):
+            k = events[i].num_iso
+            fn = final_n[j, 0, :k]  # chain 0
+            if cfg.algorithm != "reassign":
+                # final assignment pass for non-REASSIGN algorithms
+                # (miso.c:935-947)
+                fn = events[i].final_assignment_counts(
+                    final_psi[j, 0, :k])
+            out[i] = {
+                "samples": flat[j, :, :k],
+                "loglik": loglik[j],
+                "percent_accept": 100.0 * accepted[j]
+                    / max(accepted[j] + rejected[j], 1),
+                "final_n": fn,
+            }
+        if bucket_stats is not None:
+            dt = time.time() - p["t0"]
+            bucket_stats.append({
+                "shape": p["shape"],
+                "events": len(chunk), "seconds": dt,
+                "events_per_s": len(chunk) / max(dt, 1e-9),
+                "backend": p["backend"]})
+        if on_chunk is not None:
+            on_chunk(chunk, out)
+
     for (pad_iso, pad_classes, pad_reads), idxs in bucket_events(events):
         # very deep events: per-class multinomial Gibbs keeps device
         # memory and per-iteration work O(classes) instead of O(reads)
@@ -346,56 +396,30 @@ def run_events(
                 "final_psi": res.final_psi, "backend": backend,
                 "t0": t_bucket,
                 "shape": (pad_iso, pad_classes, pad_reads)})
+            # bound device-memory retention: each pending chunk pins its
+            # full-precision loglik (the wide-row fallback source) plus
+            # the quantized buffers in HBM; a few chunks of lookahead is
+            # all the transfer/compute overlap needs
+            while len(pending) > 4:
+                _materialize_chunk(pending.pop(0))
 
     for p in pending:
-        chunk = p["chunk"]
-        q = np.asarray(p["quant"])
-        if p["two_iso"]:
-            c0 = q.astype(np.float64) / 1e4
-            flat = np.stack([c0, 1.0 - c0], axis=-1)
-        else:
-            flat = q.astype(np.float32) / 1e4
-        cmin = np.asarray(p["ll_min"]).astype(np.float64)
-        cmax = np.asarray(p["ll_max"]).astype(np.float64)
-        loglik = (np.asarray(p["ll_resid"]).astype(np.float64)
-                  + cmin[:, None]) / 100.0
-        # padded events carry NaN score rows (masked lanes); only the
-        # real rows matter, and only they may need the f32 fallback
-        n_real = len(chunk)
-        with np.errstate(invalid="ignore"):
-            wide = np.flatnonzero(
-                (cmax[:n_real] - cmin[:n_real]) > 65535)
-        for i in wide:  # fetch just those rows at full precision
-            loglik[i] = np.asarray(p["ll_full"][int(i)])
-        accepted = np.asarray(p["accepted"])
-        rejected = np.asarray(p["rejected"])
-        final_n = np.asarray(p["final_n"])
-        final_psi = np.asarray(p["final_psi"])
-        for j, i in enumerate(chunk):
-            k = events[i].num_iso
-            fn = final_n[j, 0, :k]  # chain 0
-            if cfg.algorithm != "reassign":
-                # final assignment pass for non-REASSIGN algorithms
-                # (miso.c:935-947)
-                fn = events[i].final_assignment_counts(
-                    final_psi[j, 0, :k])
-            out[i] = {
-                "samples": flat[j, :, :k],
-                "loglik": loglik[j],
-                "percent_accept": 100.0 * accepted[j]
-                    / max(accepted[j] + rejected[j], 1),
-                "final_n": fn,
-            }
-        if bucket_stats is not None:
-            dt = time.time() - p["t0"]
-            bucket_stats.append({
-                "shape": p["shape"],
-                "events": len(chunk), "seconds": dt,
-                "events_per_s": len(chunk) / max(dt, 1e-9),
-                "backend": p["backend"]})
-        if on_chunk is not None:
-            on_chunk(chunk, out)
+        _materialize_chunk(p)
     return out
+
+
+def _write_event(output_dir: str, cfg: RunConfig, ev: CompiledEvent,
+                 res: dict) -> None:
+    """The single shared per-event .miso writer (used by both the batch
+    writer below and the streamed on_chunk path in
+    compute_all_genes_psi -- one place to change the output contract)."""
+    path = event_output_path(output_dir, ev.gene, ev.name)
+    write_miso_file(
+        path, ev, res["samples"], res["loglik"],
+        # convergent stopping records the per-event final schedule
+        iters=res.get("iters", cfg.iters),
+        burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
+        percent_accept=res["percent_accept"], final_n=res["final_n"])
 
 
 def write_event_results(
@@ -406,14 +430,7 @@ def write_event_results(
     workers: int = 4,
 ) -> int:
     def write_one(pair):
-        ev, res = pair
-        path = event_output_path(output_dir, ev.gene, ev.name)
-        write_miso_file(
-            path, ev, res["samples"], res["loglik"],
-            # convergent stopping records the per-event final schedule
-            iters=res.get("iters", cfg.iters),
-            burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
-            percent_accept=res["percent_accept"], final_n=res["final_n"])
+        _write_event(output_dir, cfg, *pair)
         return 1
 
     todo = [(ev, res) for ev, res in zip(events, results)
@@ -585,14 +602,8 @@ def compute_all_genes_psi(
             res = out[i]
             if res is None:
                 continue
-            ev = events[i]
-            path = event_output_path(output_dir, ev.gene, ev.name)
             write_futures.append(write_pool.submit(
-                write_miso_file, path, ev, res["samples"], res["loglik"],
-                iters=res.get("iters", cfg.iters),
-                burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
-                percent_accept=res["percent_accept"],
-                final_n=res["final_n"]))
+                _write_event, output_dir, cfg, events[i], res))
 
     if profile_dir:
         os.makedirs(profile_dir, exist_ok=True)

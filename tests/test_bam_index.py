@@ -361,3 +361,28 @@ def test_scan_chrom_columnar_stranded(paired_bam):
             "chrP", 0, 10 ** 9, strand_rule="fr-firststrand",
             target_strand=target)
         assert n == col[2] and tuple(cg) == col[1]
+
+
+def test_columnar_unknown_strand_rule_raises_like_python_path(paired_bam):
+    """An unknown strand rule with a target strand must raise on the
+    native columnar paths exactly as read_matches_strand does on the
+    Python path -- not silently quantify as unstranded."""
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(paired_bam)
+    for call in (
+        lambda: reader.fetch_columnar(
+            "chrP", 0, 10 ** 9, strand_rule="rf-firststrand",
+            target_strand="+"),
+        lambda: reader.fetch_columnar_paired(
+            "chrP", 0, 10 ** 9, strand_rule="rf-firststrand",
+            target_strand="+"),
+        lambda: reader.scan_chrom_columnar(
+            "chrP", strand_rule="fr-secondstrand", target_strand="+"),
+    ):
+        with pytest.raises(ValueError):
+            call()
+    # without a target strand the Python path never consults the rule;
+    # the columnar paths match (no raise)
+    reader.fetch_columnar("chrP", 0, 100, strand_rule="rf-firststrand")

@@ -338,3 +338,17 @@ def test_write_gff_dialect_roundtrip(tmp_path):
     back = read_gff(str(p1))
     assert back[0].attributes == {"group": ["free text"]}
     assert back[0].score == 0.0  # v1 writes missing scores as '0'
+
+
+def test_format_sample_block_edge_cases():
+    """Near-zero negative scores keep their '-0.00' sign, and an empty
+    sample block formats to empty bytes instead of crashing."""
+    import numpy as np
+    from miso_tpu.io.miso_file import _format_sample_block
+
+    got = _format_sample_block(np.array([[0.25, 0.75]]),
+                               np.array([-0.004]))
+    assert got == b"0.2500,0.7500\t-0.00\n"
+    assert _format_sample_block(np.zeros((0, 2)), np.zeros(0)) == b""
+    got = _format_sample_block(np.array([[1.0, 0.0]]), np.array([-0.0]))
+    assert got == b"1.0000,0.0000\t-0.00\n"
