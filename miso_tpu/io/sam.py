@@ -966,11 +966,19 @@ class IndexedBamReader:
         v0 = self._index.start_voffset(tid, start, end)
         if v0 is None:
             return (), (), 0
+        # per-window columnar accumulation, NO per-read Python: the raw
+        # window buffers concatenate wholesale and the native pairer
+        # reads qnames straight out of them via rebased offsets
         pos_l: List[np.ndarray] = []
         flag_l: List[np.ndarray] = []
         lseq_l: List[np.ndarray] = []
-        qn_l: List[bytes] = []
-        cg_l: List[bytes] = []
+        qoff_l: List[np.ndarray] = []
+        qlen_l: List[np.ndarray] = []
+        coff_l: List[np.ndarray] = []
+        clen_l: List[np.ndarray] = []
+        bufs: List[bytes] = []
+        cbufs: List[bytes] = []
+        qbase = cbase = 0
         try:
             for scan, _voffs, buf in self._scan_batches(v0,
                                                         window_target=1):
@@ -984,29 +992,34 @@ class IndexedBamReader:
                        & ((fl & (FUNMAP | FMUNMAP | FQCFAIL)) == 0)
                        & ((fl & FPAIRED) != 0))
                 idxs = np.flatnonzero(sel)
-                co = scan.cigar_off
-                cbuf = scan.cigar_buf
-                qo = scan.qname_off
-                ql = scan.qname_len
-                for i in idxs:
-                    qn_l.append(buf[qo[i]:qo[i] + ql[i]])
-                    cg_l.append(cbuf[co[i]:co[i + 1] - 1])
                 pos_l.append(scan.pos[idxs])
                 flag_l.append(fl[idxs])
                 lseq_l.append(scan.l_seq[idxs])
+                qoff_l.append(scan.qname_off[idxs] + qbase)
+                qlen_l.append(scan.qname_len[idxs])
+                co = scan.cigar_off
+                coff_l.append(co[idxs] + cbase)
+                clen_l.append(co[idxs + 1] - co[idxs] - 1)  # excl. NUL
+                bufs.append(buf)
+                cbufs.append(scan.cigar_buf)
+                qbase += len(buf)
+                cbase += len(scan.cigar_buf)
                 if stop < scan.n:
                     break
         except _NativeUnavailable:
             return None
-        if not qn_l:
+        if not pos_l:
             return (), (), 0
         pos = np.concatenate(pos_l)
+        if len(pos) == 0:
+            return (), (), 0
         flag = np.concatenate(flag_l)
         lseq = np.concatenate(lseq_l)
-        qlen = np.array([len(x) for x in qn_l], np.int32)
-        qoff = np.zeros(len(qn_l), np.int64)
-        np.cumsum(qlen[:-1], out=qoff[1:])
-        partner = native.pair_qnames(b"".join(qn_l), qoff, qlen)
+        qoff = np.concatenate(qoff_l)
+        qlen = np.concatenate(qlen_l)
+        coff = np.concatenate(coff_l)
+        clen = np.concatenate(clen_l)
+        partner = native.pair_qnames(b"".join(bufs), qoff, qlen)
         if partner is None:
             return None
         first = np.flatnonzero(partner > np.arange(len(partner)))
@@ -1014,6 +1027,12 @@ class IndexedBamReader:
         rev1 = (flag[first] & FREVERSE) != 0
         rev2 = (flag[second] & FREVERSE) != 0
         keep = rev1 != rev2  # drop same-strand pairs
+        # drop pairs with a '*' CIGAR mate ("*" entries have length 1)
+        cbuf = b"".join(cbufs)
+        cb = np.frombuffer(cbuf, np.uint8)
+        star1 = (clen[first] == 1) & (cb[coff[first]] == 0x2A)
+        star2 = (clen[second] == 1) & (cb[coff[second]] == 0x2A)
+        keep &= ~(star1 | star2)
         if given_read_len is not None:
             keep &= ((lseq[first] == given_read_len)
                      & (lseq[second] == given_read_len))
@@ -1022,15 +1041,124 @@ class IndexedBamReader:
             # forward-strand mate first (see docstring)
             first, second = (np.where(rev1, second, first),
                              np.where(rev1, first, second))
-        positions: List[int] = []
-        cigars: List[str] = []
-        for i, j in zip(first, second):
-            c1, c2 = cg_l[i], cg_l[j]
-            if c1 == b"*" or c2 == b"*":
-                continue
-            positions.extend((int(pos[i]), int(pos[j])))
-            cigars.extend((c1.decode(), c2.decode()))
-        return tuple(positions), tuple(cigars), len(positions) // 2
+        # interleave mates (2r, 2r+1)
+        n_pairs = len(first)
+        inter = np.empty(2 * n_pairs, np.int64)
+        inter[0::2] = first
+        inter[1::2] = second
+        positions = tuple(int(x) for x in pos[inter])
+        cigars = tuple(cbuf[o:o + l].decode()
+                       for o, l in zip(coff[inter], clen[inter]))
+        return positions, cigars, n_pairs
+
+    def scan_chrom_columnar_paired(self, chrom: str,
+                                   given_read_len: Optional[int] = None,
+                                   strand_rule: Optional[str] = None,
+                                   target_strand: Optional[str] = None
+                                   ) -> Optional["ChromPairs"]:
+        """ONE streaming decode + ONE native qname-pairing pass for a
+        whole chromosome; per-gene paired region fetches then become
+        vectorized slices (ChromPairs.slice).  Catalog-scale paired
+        ingest analogue of scan_chrom_columnar.
+
+        Pairing scope is the CHROMOSOME where fetch_columnar_paired's
+        is the region: for a read name with exactly two same-chromosome
+        records the results are identical (a pair only surfaces from a
+        region that contains both mates, exactly like the per-region
+        path); they can differ only for names with 3+ records on one
+        chromosome of which exactly 2 fall inside a particular region
+        -- the per-region path would pair those two, the chromosome
+        scope (like the aligner's own mate flags) does not.
+        Returns None when the native scanner/pairer is unavailable."""
+        import numpy as np
+
+        from miso_tpu import native
+        _validate_strand_rule(strand_rule, target_strand)
+        tid = self._ref_ids.get(chrom)
+        if tid is None:
+            raise KeyError(chrom)
+        assert self._index is not None
+        clen_ref = self.lengths[tid] if self.lengths[tid] > 0 else (1 << 31)
+        v0 = self._index.start_voffset(tid, 0, clen_ref)
+        empty = ChromPairs.empty()
+        if v0 is None:
+            return empty
+        pos_l: List[np.ndarray] = []
+        end_l: List[np.ndarray] = []
+        flag_l: List[np.ndarray] = []
+        lseq_l: List[np.ndarray] = []
+        qoff_l: List[np.ndarray] = []
+        qlen_l: List[np.ndarray] = []
+        coff_l: List[np.ndarray] = []
+        clen_l: List[np.ndarray] = []
+        bufs: List[bytes] = []
+        cbufs: List[bytes] = []
+        qbase = cbase = 0
+        try:
+            for scan, _voffs, buf in self._scan_batches(v0):
+                ref = scan.ref_id
+                halt = np.flatnonzero((ref > tid) | (ref < 0))
+                stop = int(halt[0]) if halt.size else scan.n
+                fl = scan.flag[:stop]
+                sel = ((ref[:stop] == tid)
+                       & ((fl & (FUNMAP | FMUNMAP | FQCFAIL)) == 0)
+                       & ((fl & FPAIRED) != 0))
+                idxs = np.flatnonzero(sel)
+                pos_l.append(scan.pos[idxs].astype(np.int64))
+                end_l.append(scan.ref_end[idxs].astype(np.int64))
+                flag_l.append(fl[idxs])
+                lseq_l.append(scan.l_seq[idxs])
+                qoff_l.append(scan.qname_off[idxs] + qbase)
+                qlen_l.append(scan.qname_len[idxs])
+                co = scan.cigar_off
+                coff_l.append(co[idxs] + cbase)
+                clen_l.append(co[idxs + 1] - co[idxs] - 1)
+                bufs.append(buf)
+                cbufs.append(scan.cigar_buf)
+                qbase += len(buf)
+                cbase += len(scan.cigar_buf)
+                if stop < scan.n:
+                    break
+        except _NativeUnavailable:
+            return None
+        if not pos_l:
+            return empty
+        pos = np.concatenate(pos_l)
+        if len(pos) == 0:
+            return empty
+        ref_end = np.concatenate(end_l)
+        flag = np.concatenate(flag_l)
+        lseq = np.concatenate(lseq_l)
+        qoff = np.concatenate(qoff_l)
+        qlen = np.concatenate(qlen_l)
+        coff = np.concatenate(coff_l)
+        clen = np.concatenate(clen_l)
+        partner = native.pair_qnames(b"".join(bufs), qoff, qlen)
+        if partner is None:
+            return None
+        first = np.flatnonzero(partner > np.arange(len(partner)))
+        second = partner[first]
+        rev1 = (flag[first] & FREVERSE) != 0
+        rev2 = (flag[second] & FREVERSE) != 0
+        keep = rev1 != rev2
+        cbuf = b"".join(cbufs)
+        cb = np.frombuffer(cbuf, np.uint8)
+        if len(cb):
+            keep &= ~((clen[first] == 1) & (cb[coff[first]] == 0x2A))
+            keep &= ~((clen[second] == 1) & (cb[coff[second]] == 0x2A))
+        if given_read_len is not None:
+            keep &= ((lseq[first] == given_read_len)
+                     & (lseq[second] == given_read_len))
+        first, second, rev1 = first[keep], second[keep], rev1[keep]
+        if strand_rule == "fr-firststrand":
+            first, second = (np.where(rev1, second, first),
+                             np.where(rev1, first, second))
+        return ChromPairs(
+            p1=pos[first], e1=ref_end[first],
+            p2=pos[second], e2=ref_end[second],
+            co1=coff[first], cl1=clen[first],
+            co2=coff[second], cl2=clen[second],
+            cigar_buf=cbuf)
 
     def scan_chrom_columnar(self, chrom: str,
                             given_read_len: Optional[int] = None,
@@ -1092,6 +1220,63 @@ class IndexedBamReader:
             return empty
         return ChromReads(np.concatenate(pos_l), np.concatenate(end_l),
                           b"".join(buf_l), np.concatenate(off_l))
+
+
+class ChromPairs:
+    """A chromosome's mate pairs as columnar arrays, ordered by leftmost
+    mate position; `slice` reproduces a paired region fetch (both mates
+    must overlap the region, fetch_columnar_paired semantics) as binary
+    searches + a mask."""
+
+    __slots__ = ("p1", "e1", "p2", "e2", "co1", "cl1", "co2", "cl2",
+                 "cigar_buf", "pmin", "max_span")
+
+    def __init__(self, p1, e1, p2, e2, co1, cl1, co2, cl2,
+                 cigar_buf: bytes):
+        import numpy as np
+        pmin = np.minimum(p1, p2)
+        order = np.argsort(pmin, kind="stable")
+        self.p1, self.e1 = p1[order], e1[order]
+        self.p2, self.e2 = p2[order], e2[order]
+        self.co1, self.cl1 = co1[order], cl1[order]
+        self.co2, self.cl2 = co2[order], cl2[order]
+        self.cigar_buf = cigar_buf
+        self.pmin = pmin[order]
+        spans = 1
+        if len(p1):
+            spans = int(max((e1 - p1).max(), (e2 - p2).max()))
+        self.max_span = spans
+
+    @classmethod
+    def empty(cls) -> "ChromPairs":
+        import numpy as np
+        z = np.zeros(0, np.int64)
+        return cls(z, z, z, z, z, z, z, z, b"")
+
+    def slice(self, start: int, end: int):
+        """(positions, cigars, n_pairs) with mates interleaved for the
+        0-based half-open region."""
+        import numpy as np
+        i0 = int(np.searchsorted(self.pmin, start - self.max_span + 1,
+                                 "left"))
+        i1 = int(np.searchsorted(self.pmin, end, "left"))
+        sl = slice(i0, i1)
+        m = ((self.p1[sl] < end) & (self.e1[sl] > start)
+             & (self.p2[sl] < end) & (self.e2[sl] > start))
+        idx = i0 + np.flatnonzero(m)
+        n_pairs = len(idx)
+        inter_pos = np.empty(2 * n_pairs, np.int64)
+        inter_pos[0::2] = self.p1[idx]
+        inter_pos[1::2] = self.p2[idx]
+        co = np.empty(2 * n_pairs, np.int64)
+        co[0::2] = self.co1[idx]
+        co[1::2] = self.co2[idx]
+        cl = np.empty(2 * n_pairs, np.int64)
+        cl[0::2] = self.cl1[idx]
+        cl[1::2] = self.cl2[idx]
+        buf = self.cigar_buf
+        cigars = tuple(buf[o:o + l].decode() for o, l in zip(co, cl))
+        return tuple(int(x) for x in inter_pos), cigars, n_pairs
 
 
 class ChromReads:

@@ -484,7 +484,9 @@ def compute_all_genes_psi(
     scan_lock = threading.Lock()
 
     def chrom_scan(chrom, strand):
-        if not hasattr(alignments, "scan_chrom_columnar"):
+        method = ("scan_chrom_columnar_paired" if cfg.paired_end
+                  else "scan_chrom_columnar")
+        if not hasattr(alignments, method):
             return None
         unstranded = cfg.strand_rule in (None, "fr-unstranded")
         key = (chrom, None if unstranded else strand)
@@ -492,7 +494,7 @@ def compute_all_genes_psi(
             if key in scan_cache:
                 scan_cache.move_to_end(key)
                 return scan_cache[key]
-            scan = alignments.scan_chrom_columnar(
+            scan = getattr(alignments, method)(
                 chrom, given_read_len=cfg.filter_read_len,
                 strand_rule=cfg.strand_rule,
                 target_strand=None if unstranded else strand)
@@ -525,23 +527,21 @@ def compute_all_genes_psi(
             # repeated per-gene block decode dominated host compile.
             col = None
             try:
-                if cfg.paired_end:
+                scan = chrom_scan(gene.chrom, gene.strand)
+                if scan is not None:
+                    col = scan.slice(lo - 1, hi)
+                elif cfg.paired_end:
                     col = alignments.fetch_columnar_paired(
                         gene.chrom, lo - 1, hi,
                         given_read_len=cfg.filter_read_len,
                         strand_rule=cfg.strand_rule,
                         target_strand=gene.strand)
                 else:
-                    scan = chrom_scan(gene.chrom, gene.strand)
-                    if scan is not None:
-                        p, cg, n = scan.slice(lo - 1, hi)
-                        col = (p, cg, n)
-                    else:
-                        col = alignments.fetch_columnar(
-                            gene.chrom, lo - 1, hi,
-                            given_read_len=cfg.filter_read_len,
-                            strand_rule=cfg.strand_rule,
-                            target_strand=gene.strand)
+                    col = alignments.fetch_columnar(
+                        gene.chrom, lo - 1, hi,
+                        given_read_len=cfg.filter_read_len,
+                        strand_rule=cfg.strand_rule,
+                        target_strand=gene.strand)
             except KeyError:
                 pass  # chr-prefix fallback below
             if col is not None:
@@ -568,8 +568,7 @@ def compute_all_genes_psi(
     # 2x SLOWER at 10k genes), so single-end native catalogs compile
     # single-threaded.
     workers = max(1, (settings.get_num_processors() or 1))
-    if (not cfg.paired_end
-            and hasattr(alignments, "scan_chrom_columnar")):
+    if hasattr(alignments, "scan_chrom_columnar"):
         from miso_tpu import native
         if native.load() is not None:
             workers = 1

@@ -386,3 +386,25 @@ def test_columnar_unknown_strand_rule_raises_like_python_path(paired_bam):
     # without a target strand the Python path never consults the rule;
     # the columnar paths match (no raise)
     reader.fetch_columnar("chrP", 0, 100, strand_rule="rf-firststrand")
+
+
+def test_scan_chrom_paired_slice_matches_fetch_columnar_paired(paired_bam):
+    """Chromosome-level pairing + region slice == per-region paired
+    columnar fetch, across strand rules and read-length filters (every
+    name in the fixture has at most 2 same-chromosome records, so the
+    pairing scopes coincide -- see scan_chrom_columnar_paired)."""
+    from miso_tpu import native
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    reader = IndexedBamReader(paired_bam)
+    for rule, target in [(None, None), ("fr-firststrand", "+")]:
+        for rl in (None, 40):
+            pairs = reader.scan_chrom_columnar_paired(
+                "chrP", given_read_len=rl, strand_rule=rule,
+                target_strand=target)
+            for s, e in [(0, 10 ** 9), (300, 3000), (1650, 1750)]:
+                got = pairs.slice(s, e)
+                want = reader.fetch_columnar_paired(
+                    "chrP", s, e, given_read_len=rl, strand_rule=rule,
+                    target_strand=target)
+                assert got == want, (rule, rl, s, e)
