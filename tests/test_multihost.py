@@ -142,3 +142,21 @@ def test_single_host_without_flags_is_unchanged(catalog):
     assert "Host shard" not in o
     files = glob.glob(os.path.join(out, "chr*", "*.miso"))
     assert len(files) == N_EVENTS
+
+
+def test_no_native_fallback_run(catalog):
+    """The full CLI run works with the native library disabled
+    (MISO_NO_NATIVE=1): pure-Python BGZF decode, matching, and pairing
+    fallbacks produce the same set of outputs."""
+    fix = catalog["fix"]
+    out = str(catalog["root"] / "out_nonative")
+    env = _cpu_env()
+    env["MISO_NO_NATIVE"] = "1"
+    p = _run_cli(
+        ["--run", catalog["idx"], fix["bam"],
+         "--output-dir", out, "--read-len", str(READ_LEN),
+         "--settings-filename", catalog["settings"]], env)
+    o, _ = p.communicate(timeout=420)
+    assert p.returncode == 0, o
+    files = glob.glob(os.path.join(out, "chr*", "*.miso"))
+    assert len(files) == N_EVENTS
