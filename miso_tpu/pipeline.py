@@ -477,31 +477,64 @@ def compute_all_genes_psi(
     alignments = sam_io.open_alignments(alignments_path)
 
     # whole-chromosome columnar scans, LRU-bounded (items are sorted by
-    # per-chromosome pickle path, so at most ~2 chromosomes are live)
+    # per-chromosome pickle path, so at most ~2 chromosomes are live).
+    # A one-thread prefetcher scans chromosome k+1 (native decode +
+    # zlib, both GIL-releasing) while chromosome k's genes compile.
     import collections
     import threading
+    from concurrent.futures import ThreadPoolExecutor
     scan_cache: "collections.OrderedDict" = collections.OrderedDict()
     scan_lock = threading.Lock()
+    scan_method = ("scan_chrom_columnar_paired" if cfg.paired_end
+                   else "scan_chrom_columnar")
+    unstranded_rule = cfg.strand_rule in (None, "fr-unstranded")
+    # chromosome visit order from the per-chromosome pickle dirs
+    chrom_seq: List[str] = []
+    for _, _fn in sorted(id_to_fname.items(), key=lambda kv: kv[1]):
+        c = os.path.basename(os.path.dirname(_fn))
+        if not chrom_seq or chrom_seq[-1] != c:
+            chrom_seq.append(c)
+    chrom_next = {c: chrom_seq[i + 1]
+                  for i, c in enumerate(chrom_seq[:-1])}
+    prefetcher = ThreadPoolExecutor(max_workers=1)
+    scan_futures: Dict[str, object] = {}
+
+    def _scan_raw(chrom, strand):
+        try:
+            return getattr(alignments, scan_method)(
+                chrom, given_read_len=cfg.filter_read_len,
+                strand_rule=cfg.strand_rule,
+                target_strand=None if unstranded_rule else strand)
+        except KeyError:
+            return KeyError  # sentinel: chrom absent from the BAM
 
     def chrom_scan(chrom, strand):
-        method = ("scan_chrom_columnar_paired" if cfg.paired_end
-                  else "scan_chrom_columnar")
-        if not hasattr(alignments, method):
+        if not hasattr(alignments, scan_method):
             return None
-        unstranded = cfg.strand_rule in (None, "fr-unstranded")
-        key = (chrom, None if unstranded else strand)
+        key = (chrom, None if unstranded_rule else strand)
         with scan_lock:
             if key in scan_cache:
                 scan_cache.move_to_end(key)
                 return scan_cache[key]
-            scan = getattr(alignments, method)(
-                chrom, given_read_len=cfg.filter_read_len,
-                strand_rule=cfg.strand_rule,
-                target_strand=None if unstranded else strand)
+            fut = scan_futures.pop(key, None)
+            if fut is None:
+                fut = prefetcher.submit(_scan_raw, chrom, strand)
+            # prefetch the NEXT chromosome while this one resolves /
+            # compiles (unstranded only: stranded keys are per-gene)
+            nxt = chrom_next.get(chrom)
+            if (unstranded_rule and nxt is not None
+                    and (nxt, None) not in scan_futures
+                    and (nxt, None) not in scan_cache):
+                scan_futures[(nxt, None)] = prefetcher.submit(
+                    _scan_raw, nxt, None)
+        scan = fut.result()
+        if scan is KeyError:
+            raise KeyError(chrom)
+        with scan_lock:
             scan_cache[key] = scan
             while len(scan_cache) > 4:
                 scan_cache.popitem(last=False)
-            return scan
+        return scan
 
     def compile_one(item):
         gene_id, pickle_fname = item
@@ -578,6 +611,7 @@ def compute_all_genes_psi(
             compiled = list(pool.map(compile_one, items))
     else:
         compiled = [compile_one(it) for it in items]
+    prefetcher.shutdown(wait=False)
     events: List[CompiledEvent] = [ev for ev in compiled if ev is not None]
     skipped = len(items) - len(events)
     t_compile = time.time() - t0
