@@ -38,6 +38,7 @@ FMREVERSE = 0x20
 FREAD1 = 0x40
 FREAD2 = 0x80
 FSECONDARY = 0x100
+FSUPPLEMENTARY = 0x800
 FQCFAIL = 0x200
 FDUP = 0x400
 
@@ -929,6 +930,99 @@ class IndexedBamReader:
             return None
         return tuple(positions), tuple(cigars), len(positions)
 
+    def _scan_paired_columnar(self, tid: int, start: int, end: int,
+                              window_target: Optional[int] = None,
+                              exclude_secondary: bool = False):
+        """Shared paired-scan accumulation for the region and
+        whole-chromosome paths: columnar (pos, ref_end, flag, l_seq)
+        plus COMPACT packed qname and CIGAR buffers (window buffers are
+        released as soon as their qname bytes are gathered -- a deep
+        chromosome never pins its raw record bytes).  Returns a dict of
+        arrays, or raises _NativeUnavailable."""
+        import numpy as np
+        assert self._index is not None
+        v0 = self._index.start_voffset(tid, start, end)
+        cols = {k: [] for k in ("pos", "ref_end", "flag", "lseq",
+                                "qoff", "qlen", "coff", "clen")}
+        qparts: List[bytes] = []
+        cbufs: List[bytes] = []
+        qbase = cbase = 0
+        if v0 is not None:
+            kw = ({} if window_target is None
+                  else {"window_target": window_target})
+            drop = FUNMAP | FMUNMAP | FQCFAIL
+            if exclude_secondary:
+                drop |= FSECONDARY | FSUPPLEMENTARY
+            for scan, _voffs, buf in self._scan_batches(v0, **kw):
+                ref = scan.ref_id
+                halt = np.flatnonzero(
+                    (ref > tid) | (ref < 0)
+                    | ((ref == tid) & (scan.pos >= end)))
+                stop = int(halt[0]) if halt.size else scan.n
+                fl = scan.flag[:stop]
+                sel = ((ref[:stop] == tid) & (scan.ref_end[:stop] > start)
+                       & ((fl & drop) == 0) & ((fl & FPAIRED) != 0))
+                idxs = np.flatnonzero(sel)
+                cols["pos"].append(scan.pos[idxs].astype(np.int64))
+                cols["ref_end"].append(scan.ref_end[idxs].astype(np.int64))
+                cols["flag"].append(fl[idxs])
+                cols["lseq"].append(scan.l_seq[idxs])
+                qb, qo = _gather_byte_ranges(buf, scan.qname_off[idxs],
+                                             scan.qname_len[idxs])
+                qparts.append(qb)
+                cols["qoff"].append(qo + qbase)
+                cols["qlen"].append(scan.qname_len[idxs])
+                co = scan.cigar_off
+                cols["coff"].append(co[idxs] + cbase)
+                cols["clen"].append(co[idxs + 1] - co[idxs] - 1)  # no NUL
+                cbufs.append(scan.cigar_buf)
+                qbase += len(qb)
+                cbase += len(scan.cigar_buf)
+                if stop < scan.n:
+                    break
+        if not cols["pos"]:
+            return None
+        d = {k: np.concatenate(v) for k, v in cols.items()}
+        d["qbuf"] = b"".join(qparts)
+        d["cbuf"] = b"".join(cbufs)
+        return d
+
+    @staticmethod
+    def _pair_columnar(d: dict, strand_rule: Optional[str],
+                       given_read_len: Optional[int]):
+        """Shared mate pairing + filters over _scan_paired_columnar
+        output: native qname hash pairing, same-strand and '*'-CIGAR
+        drops, read-length filter, fr-firststrand forward-mate-first
+        reorder.  Returns (first, second) index arrays (None when the
+        native pairer is unavailable)."""
+        import numpy as np
+
+        from miso_tpu import native
+        partner = native.pair_qnames(d["qbuf"], d["qoff"], d["qlen"])
+        if partner is None:
+            return None
+        flag, coff, clen, lseq = (d["flag"], d["coff"], d["clen"],
+                                  d["lseq"])
+        first = np.flatnonzero(partner > np.arange(len(partner)))
+        second = partner[first]
+        rev1 = (flag[first] & FREVERSE) != 0
+        rev2 = (flag[second] & FREVERSE) != 0
+        keep = rev1 != rev2  # drop same-strand pairs
+        cb = np.frombuffer(d["cbuf"], np.uint8)
+        if len(cb):  # drop pairs with a '*' CIGAR mate
+            keep &= ~((clen[first] == 1) & (cb[coff[first]] == 0x2A))
+            keep &= ~((clen[second] == 1) & (cb[coff[second]] == 0x2A))
+        if given_read_len is not None:
+            keep &= ((lseq[first] == given_read_len)
+                     & (lseq[second] == given_read_len))
+        first, second, rev1 = first[keep], second[keep], rev1[keep]
+        if strand_rule == "fr-firststrand":
+            # forward-strand mate first (the reference's two-swap
+            # composition, see pair_sam_reads)
+            first, second = (np.where(rev1, second, first),
+                             np.where(rev1, first, second))
+        return first, second
+
     def fetch_columnar_paired(self, chrom: str, start: int, end: int,
                               given_read_len: Optional[int] = None,
                               strand_rule: Optional[str] = None,
@@ -952,8 +1046,6 @@ class IndexedBamReader:
         Returns None when the native scanner/pairer is unavailable.
         """
         import numpy as np
-
-        from miso_tpu import native
         if end <= start:
             return (), (), 0
         # same validation as the Python fallback: unknown rules (and
@@ -962,93 +1054,26 @@ class IndexedBamReader:
         tid = self._ref_ids.get(chrom)
         if tid is None:
             raise KeyError(chrom)
-        assert self._index is not None
-        v0 = self._index.start_voffset(tid, start, end)
-        if v0 is None:
-            return (), (), 0
-        # per-window columnar accumulation, NO per-read Python: the raw
-        # window buffers concatenate wholesale and the native pairer
-        # reads qnames straight out of them via rebased offsets
-        pos_l: List[np.ndarray] = []
-        flag_l: List[np.ndarray] = []
-        lseq_l: List[np.ndarray] = []
-        qoff_l: List[np.ndarray] = []
-        qlen_l: List[np.ndarray] = []
-        coff_l: List[np.ndarray] = []
-        clen_l: List[np.ndarray] = []
-        bufs: List[bytes] = []
-        cbufs: List[bytes] = []
-        qbase = cbase = 0
         try:
-            for scan, _voffs, buf in self._scan_batches(v0,
-                                                        window_target=1):
-                ref = scan.ref_id
-                halt = np.flatnonzero(
-                    (ref > tid) | (ref < 0)
-                    | ((ref == tid) & (scan.pos >= end)))
-                stop = int(halt[0]) if halt.size else scan.n
-                fl = scan.flag[:stop]
-                sel = ((ref[:stop] == tid) & (scan.ref_end[:stop] > start)
-                       & ((fl & (FUNMAP | FMUNMAP | FQCFAIL)) == 0)
-                       & ((fl & FPAIRED) != 0))
-                idxs = np.flatnonzero(sel)
-                pos_l.append(scan.pos[idxs])
-                flag_l.append(fl[idxs])
-                lseq_l.append(scan.l_seq[idxs])
-                qoff_l.append(scan.qname_off[idxs] + qbase)
-                qlen_l.append(scan.qname_len[idxs])
-                co = scan.cigar_off
-                coff_l.append(co[idxs] + cbase)
-                clen_l.append(co[idxs + 1] - co[idxs] - 1)  # excl. NUL
-                bufs.append(buf)
-                cbufs.append(scan.cigar_buf)
-                qbase += len(buf)
-                cbase += len(scan.cigar_buf)
-                if stop < scan.n:
-                    break
+            d = self._scan_paired_columnar(tid, start, end,
+                                           window_target=1)
         except _NativeUnavailable:
             return None
-        if not pos_l:
+        if d is None:
             return (), (), 0
-        pos = np.concatenate(pos_l)
-        if len(pos) == 0:
-            return (), (), 0
-        flag = np.concatenate(flag_l)
-        lseq = np.concatenate(lseq_l)
-        qoff = np.concatenate(qoff_l)
-        qlen = np.concatenate(qlen_l)
-        coff = np.concatenate(coff_l)
-        clen = np.concatenate(clen_l)
-        partner = native.pair_qnames(b"".join(bufs), qoff, qlen)
-        if partner is None:
+        pair = self._pair_columnar(d, strand_rule, given_read_len)
+        if pair is None:
             return None
-        first = np.flatnonzero(partner > np.arange(len(partner)))
-        second = partner[first]
-        rev1 = (flag[first] & FREVERSE) != 0
-        rev2 = (flag[second] & FREVERSE) != 0
-        keep = rev1 != rev2  # drop same-strand pairs
-        # drop pairs with a '*' CIGAR mate ("*" entries have length 1)
-        cbuf = b"".join(cbufs)
-        cb = np.frombuffer(cbuf, np.uint8)
-        star1 = (clen[first] == 1) & (cb[coff[first]] == 0x2A)
-        star2 = (clen[second] == 1) & (cb[coff[second]] == 0x2A)
-        keep &= ~(star1 | star2)
-        if given_read_len is not None:
-            keep &= ((lseq[first] == given_read_len)
-                     & (lseq[second] == given_read_len))
-        first, second, rev1 = first[keep], second[keep], rev1[keep]
-        if strand_rule == "fr-firststrand":
-            # forward-strand mate first (see docstring)
-            first, second = (np.where(rev1, second, first),
-                             np.where(rev1, first, second))
-        # interleave mates (2r, 2r+1)
+        first, second = pair
         n_pairs = len(first)
         inter = np.empty(2 * n_pairs, np.int64)
         inter[0::2] = first
         inter[1::2] = second
-        positions = tuple(int(x) for x in pos[inter])
+        cbuf = d["cbuf"]
+        positions = tuple(int(x) for x in d["pos"][inter])
         cigars = tuple(cbuf[o:o + l].decode()
-                       for o, l in zip(coff[inter], clen[inter]))
+                       for o, l in zip(d["coff"][inter],
+                                       d["clen"][inter]))
         return positions, cigars, n_pairs
 
     def scan_chrom_columnar_paired(self, chrom: str,
@@ -1061,104 +1086,45 @@ class IndexedBamReader:
         vectorized slices (ChromPairs.slice).  Catalog-scale paired
         ingest analogue of scan_chrom_columnar.
 
-        Pairing scope is the CHROMOSOME where fetch_columnar_paired's
-        is the region: for a read name with exactly two same-chromosome
-        records the results are identical (a pair only surfaces from a
-        region that contains both mates, exactly like the per-region
-        path); they can differ only for names with 3+ records on one
-        chromosome of which exactly 2 fall inside a particular region
-        -- the per-region path would pair those two, the chromosome
-        scope (like the aligner's own mate flags) does not.
-        Returns None when the native scanner/pairer is unavailable."""
-        import numpy as np
+        Two deliberate scope differences from fetch_columnar_paired:
 
-        from miso_tpu import native
+        - pairing scope is the CHROMOSOME, not the region: for a read
+          name with exactly two same-chromosome primary records the
+          results are identical (a pair only surfaces from a region
+          containing both mates); they differ only for names with 3+
+          candidate records of which exactly 2 fall inside a region;
+        - secondary/supplementary alignments (FLAG 0x100/0x800) are
+          excluded BEFORE pairing, so a multimapper's extra records
+          elsewhere on the chromosome cannot break its primary pair --
+          the region path (and the reference) would let an in-region
+          secondary poison the name count instead.
+
+        Returns None when the native scanner/pairer is unavailable."""
         _validate_strand_rule(strand_rule, target_strand)
         tid = self._ref_ids.get(chrom)
         if tid is None:
             raise KeyError(chrom)
-        assert self._index is not None
-        clen_ref = self.lengths[tid] if self.lengths[tid] > 0 else (1 << 31)
-        v0 = self._index.start_voffset(tid, 0, clen_ref)
-        empty = ChromPairs.empty()
-        if v0 is None:
-            return empty
-        pos_l: List[np.ndarray] = []
-        end_l: List[np.ndarray] = []
-        flag_l: List[np.ndarray] = []
-        lseq_l: List[np.ndarray] = []
-        qoff_l: List[np.ndarray] = []
-        qlen_l: List[np.ndarray] = []
-        coff_l: List[np.ndarray] = []
-        clen_l: List[np.ndarray] = []
-        bufs: List[bytes] = []
-        cbufs: List[bytes] = []
-        qbase = cbase = 0
+        # chromosome length bounds the bin enumeration in the index
+        # lookup (reg2bins over a huge range is minutes of Python)
+        clen = self.lengths[tid] if self.lengths[tid] > 0 else (1 << 31)
         try:
-            for scan, _voffs, buf in self._scan_batches(v0):
-                ref = scan.ref_id
-                halt = np.flatnonzero((ref > tid) | (ref < 0))
-                stop = int(halt[0]) if halt.size else scan.n
-                fl = scan.flag[:stop]
-                sel = ((ref[:stop] == tid)
-                       & ((fl & (FUNMAP | FMUNMAP | FQCFAIL)) == 0)
-                       & ((fl & FPAIRED) != 0))
-                idxs = np.flatnonzero(sel)
-                pos_l.append(scan.pos[idxs].astype(np.int64))
-                end_l.append(scan.ref_end[idxs].astype(np.int64))
-                flag_l.append(fl[idxs])
-                lseq_l.append(scan.l_seq[idxs])
-                qoff_l.append(scan.qname_off[idxs] + qbase)
-                qlen_l.append(scan.qname_len[idxs])
-                co = scan.cigar_off
-                coff_l.append(co[idxs] + cbase)
-                clen_l.append(co[idxs + 1] - co[idxs] - 1)
-                bufs.append(buf)
-                cbufs.append(scan.cigar_buf)
-                qbase += len(buf)
-                cbase += len(scan.cigar_buf)
-                if stop < scan.n:
-                    break
+            d = self._scan_paired_columnar(tid, 0, clen,
+                                           exclude_secondary=True)
         except _NativeUnavailable:
             return None
-        if not pos_l:
-            return empty
-        pos = np.concatenate(pos_l)
-        if len(pos) == 0:
-            return empty
-        ref_end = np.concatenate(end_l)
-        flag = np.concatenate(flag_l)
-        lseq = np.concatenate(lseq_l)
-        qoff = np.concatenate(qoff_l)
-        qlen = np.concatenate(qlen_l)
-        coff = np.concatenate(coff_l)
-        clen = np.concatenate(clen_l)
-        partner = native.pair_qnames(b"".join(bufs), qoff, qlen)
-        if partner is None:
+        if d is None:
+            return ChromPairs.empty()
+        pair = self._pair_columnar(d, strand_rule, given_read_len)
+        if pair is None:
             return None
-        first = np.flatnonzero(partner > np.arange(len(partner)))
-        second = partner[first]
-        rev1 = (flag[first] & FREVERSE) != 0
-        rev2 = (flag[second] & FREVERSE) != 0
-        keep = rev1 != rev2
-        cbuf = b"".join(cbufs)
-        cb = np.frombuffer(cbuf, np.uint8)
-        if len(cb):
-            keep &= ~((clen[first] == 1) & (cb[coff[first]] == 0x2A))
-            keep &= ~((clen[second] == 1) & (cb[coff[second]] == 0x2A))
-        if given_read_len is not None:
-            keep &= ((lseq[first] == given_read_len)
-                     & (lseq[second] == given_read_len))
-        first, second, rev1 = first[keep], second[keep], rev1[keep]
-        if strand_rule == "fr-firststrand":
-            first, second = (np.where(rev1, second, first),
-                             np.where(rev1, first, second))
+        first, second = pair
+        pos, ref_end = d["pos"], d["ref_end"]
         return ChromPairs(
             p1=pos[first], e1=ref_end[first],
             p2=pos[second], e2=ref_end[second],
-            co1=coff[first], cl1=clen[first],
-            co2=coff[second], cl2=clen[second],
-            cigar_buf=cbuf)
+            co1=d["coff"][first], cl1=d["clen"][first],
+            co2=d["coff"][second], cl2=d["clen"][second],
+            cigar_buf=d["cbuf"])
 
     def scan_chrom_columnar(self, chrom: str,
                             given_read_len: Optional[int] = None,
@@ -1599,6 +1565,25 @@ def pair_sam_reads(reads: Iterable[AlignedRead],
     if return_unpaired:
         return paired, unpaired
     return paired
+
+
+def _gather_byte_ranges(buf, starts, lens):
+    """Concatenate buf[starts[i]:starts[i]+lens[i]] slices into one
+    compact bytes object, fully vectorized (no per-range Python).
+    Returns (packed_bytes, new_start_offsets)."""
+    import numpy as np
+    starts = np.asarray(starts, np.int64)
+    lens = np.asarray(lens, np.int64)
+    newoff = np.zeros(len(lens), np.int64)
+    if len(lens):
+        np.cumsum(lens[:-1], out=newoff[1:])
+    tot = int(lens.sum())
+    if tot == 0:
+        return b"", newoff
+    pos = np.arange(tot)
+    row = np.searchsorted(np.cumsum(lens), pos, side="right")
+    src = starts[row] + (pos - newoff[row])
+    return np.frombuffer(buf, np.uint8)[src].tobytes(), newoff
 
 
 def _validate_strand_rule(strand_rule: Optional[str],

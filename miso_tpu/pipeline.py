@@ -487,53 +487,71 @@ def compute_all_genes_psi(
     scan_lock = threading.Lock()
     scan_method = ("scan_chrom_columnar_paired" if cfg.paired_end
                    else "scan_chrom_columnar")
-    unstranded_rule = cfg.strand_rule in (None, "fr-unstranded")
-    # chromosome visit order from the per-chromosome pickle dirs
+    # paired chromosome scans never depend on the target strand
+    # (fr-firststrand only reorders mates), so one scan per chromosome
+    # serves both strands; single-end stranded scans are per-strand
+    strandless = (cfg.paired_end
+                  or cfg.strand_rule in (None, "fr-unstranded"))
+    # chromosome visit order: gene.chrom of the first gene in each
+    # per-chromosome pickle dir (dir names may carry an added 'chr'
+    # prefix, io/index.py:41, so they cannot key the prefetch)
     chrom_seq: List[str] = []
-    for _, _fn in sorted(id_to_fname.items(), key=lambda kv: kv[1]):
-        c = os.path.basename(os.path.dirname(_fn))
-        if not chrom_seq or chrom_seq[-1] != c:
-            chrom_seq.append(c)
+    _seen_dirs: set = set()
+    for _gid, _fn in sorted(id_to_fname.items(), key=lambda kv: kv[1]):
+        _d = os.path.dirname(_fn)
+        if _d in _seen_dirs:
+            continue
+        _seen_dirs.add(_d)
+        try:
+            _g = load_indexed_gene(_fn)[_gid]["gene_object"]
+            if _g.chrom and _g.chrom not in chrom_seq:
+                chrom_seq.append(_g.chrom)
+        except Exception:
+            pass
     chrom_next = {c: chrom_seq[i + 1]
                   for i, c in enumerate(chrom_seq[:-1])}
     prefetcher = ThreadPoolExecutor(max_workers=1)
-    scan_futures: Dict[str, object] = {}
+    scan_futures: Dict[object, object] = {}
 
     def _scan_raw(chrom, strand):
         try:
             return getattr(alignments, scan_method)(
                 chrom, given_read_len=cfg.filter_read_len,
                 strand_rule=cfg.strand_rule,
-                target_strand=None if unstranded_rule else strand)
+                target_strand=None if strandless else strand)
         except KeyError:
             return KeyError  # sentinel: chrom absent from the BAM
 
     def chrom_scan(chrom, strand):
         if not hasattr(alignments, scan_method):
             return None
-        key = (chrom, None if unstranded_rule else strand)
+        key = (chrom, None if strandless else strand)
         with scan_lock:
             if key in scan_cache:
                 scan_cache.move_to_end(key)
-                return scan_cache[key]
+                hit = scan_cache[key]
+                if hit is KeyError:  # cached BAM-absent chromosome
+                    raise KeyError(chrom)
+                return hit
             fut = scan_futures.pop(key, None)
             if fut is None:
                 fut = prefetcher.submit(_scan_raw, chrom, strand)
             # prefetch the NEXT chromosome while this one resolves /
-            # compiles (unstranded only: stranded keys are per-gene)
+            # compiles (strandless keys only: stranded keys are
+            # per-gene, so the next gene's strand is unknown here)
             nxt = chrom_next.get(chrom)
-            if (unstranded_rule and nxt is not None
+            if (strandless and nxt is not None
                     and (nxt, None) not in scan_futures
                     and (nxt, None) not in scan_cache):
                 scan_futures[(nxt, None)] = prefetcher.submit(
                     _scan_raw, nxt, None)
         scan = fut.result()
-        if scan is KeyError:
-            raise KeyError(chrom)
         with scan_lock:
             scan_cache[key] = scan
             while len(scan_cache) > 4:
                 scan_cache.popitem(last=False)
+        if scan is KeyError:
+            raise KeyError(chrom)
         return scan
 
     def compile_one(item):
@@ -605,13 +623,17 @@ def compute_all_genes_psi(
         from miso_tpu import native
         if native.load() is not None:
             workers = 1
-    if workers > 1 and len(items) > 64:
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(max_workers=workers) as pool:
-            compiled = list(pool.map(compile_one, items))
-    else:
-        compiled = [compile_one(it) for it in items]
-    prefetcher.shutdown(wait=False)
+    try:
+        if workers > 1 and len(items) > 64:
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                compiled = list(pool.map(compile_one, items))
+        else:
+            compiled = [compile_one(it) for it in items]
+    finally:
+        # cancel any unconsumed prefetch (e.g. every output of its
+        # chromosome already existed) so a whole-chromosome scan does
+        # not keep running beside device sampling
+        prefetcher.shutdown(wait=False, cancel_futures=True)
     events: List[CompiledEvent] = [ev for ev in compiled if ev is not None]
     skipped = len(items) - len(events)
     t_compile = time.time() - t0

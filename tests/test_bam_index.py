@@ -408,3 +408,33 @@ def test_scan_chrom_paired_slice_matches_fetch_columnar_paired(paired_bam):
                     "chrP", s, e, given_read_len=rl, strand_rule=rule,
                     target_strand=target)
                 assert got == want, (rule, rl, s, e)
+
+
+def test_chrom_paired_scan_survives_secondary_alignments(tmp_path):
+    """A multimapper's secondary record elsewhere on the chromosome
+    must not break its primary pair in the chromosome-scope pairing
+    (secondaries are excluded before pairing there; the region-scope
+    path keeps reference name-count semantics instead)."""
+    from miso_tpu import native
+    from miso_tpu.io.sam import AlignedRead, write_bam
+    if native.load() is None:
+        pytest.skip("native library unavailable")
+    F_PAIR, F_REV, F_SEC = 0x1, 0x10, 0x100
+    reads = [
+        AlignedRead(qname="mm", flag=F_PAIR, rname="chrM", pos=100,
+                    mapq=60, cigar_str="40M", rlen=40),
+        AlignedRead(qname="mm", flag=F_PAIR | F_REV, rname="chrM",
+                    pos=260, mapq=60, cigar_str="40M", rlen=40),
+        AlignedRead(qname="mm", flag=F_PAIR | F_SEC, rname="chrM",
+                    pos=5000, mapq=0, cigar_str="40M", rlen=40),
+    ]
+    reads.sort(key=lambda r: r.pos)
+    path = str(tmp_path / "mm.bam")
+    write_bam(path, ["chrM"], [10000], reads)
+    reader = IndexedBamReader(path)
+    pairs = reader.scan_chrom_columnar_paired("chrM")
+    got = pairs.slice(0, 1000)
+    assert got[2] == 1 and got[0] == (100, 260)
+    # the region path mirrors the reference: 3 same-name records in
+    # one region -> no pair
+    assert reader.fetch_columnar_paired("chrM", 0, 10000)[2] == 0
