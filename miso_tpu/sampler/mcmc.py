@@ -138,6 +138,19 @@ def _pow2_pad_events(batch: EventBatch, start_psi, n: int):
     return EventBatch(*arrs), start_psi
 
 
+@jax.jit
+def _quantized_outputs(flat_psi, flat_ll):
+    """Posterior fetch payload at .miso output precision: uint16 psi
+    ticks + per-event-offset uint16 score centipoints (see
+    pipeline.run_events for the same scheme on the fixed-stop path)."""
+    quant = jnp.round(flat_psi * 1e4).astype(jnp.uint16)
+    cents = jnp.round(flat_ll * 100.0)
+    cmin = jnp.min(cents, axis=1)
+    cmax = jnp.max(cents, axis=1)
+    resid = jnp.clip(cents - cmin[:, None], 0, 65535).astype(jnp.uint16)
+    return quant, resid, cmin, cmax
+
+
 def run_batch_convergent(
     key: jnp.ndarray,
     events: EventBatch,
@@ -210,12 +223,31 @@ def run_batch_convergent(
         next_iters = 3 * cur_cfg.iters - 2 * cur_cfg.burn_in
         if next_iters > max_iters:
             conv = np.ones_like(conv)  # maxIterations cap (miso.c:908)
-        flat = np.asarray(res.flat_samples())
-        ll = np.asarray(res.flat_loglik())
+        # fetch posteriors quantized to the .miso output precision
+        # (uint16 psi + per-event-offset uint16 score centipoints, as
+        # in pipeline.run_events): halves the bytes of the
+        # full-precision fetch that made convergent mode
+        # transfer-bound on remote runtimes.  The quantization program
+        # is keyed only by the (pow2-padded) batch shape, so it caches
+        # across rounds -- a converged-rows device gather would mint a
+        # new compile shape per round instead.
+        quant, resid, cmin, cmax = _quantized_outputs(
+            res.flat_samples(), res.flat_loglik())
         acc = np.asarray(res.accepted)
         rej = np.asarray(res.rejected)
         fn = np.asarray(res.final_n)
         fpsi = np.asarray(res.final_psi)
+        flat = np.asarray(quant).astype(np.float32) / 1e4
+        cmin_h = np.asarray(cmin).astype(np.float64)
+        cmax_h = np.asarray(cmax).astype(np.float64)
+        ll = (np.asarray(resid).astype(np.float64)
+              + cmin_h[:, None]) / 100.0
+        with np.errstate(invalid="ignore"):
+            wide = np.flatnonzero((cmax_h - cmin_h)[:nr] > 65535)
+        if wide.size:
+            llr = np.asarray(res.flat_loglik())
+            for w in wide:
+                ll[w] = llr[w]
         for j, e in enumerate(remaining):
             iters_used[e] = cur_cfg.iters
             if conv[j]:
