@@ -53,6 +53,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "3*iters - 2*burn_in (pysplicing/src/"
                         "miso.c:903-928); equivalent to settings "
                         "[sampler] stop = convergent.")
+    p.add_argument("--linear-start", action="store_true", default=False,
+                   help="Seed every chain from the NNLS linear "
+                        "deconvolution instead of the AUTO start "
+                        "(MISO_START_LINEAR, pysplicing/src/"
+                        "miso.c:410-443; the reference exposes this "
+                        "only through its C API).")
     p.add_argument("--profile", dest="profile_dir", default=None,
                    metavar="DIR",
                    help="Write a jax.profiler device trace for the run "
@@ -143,6 +149,7 @@ def main(argv=None) -> int:
         mean_frag_len=args.paired_end[0] if paired else None,
         frag_variance=(args.paired_end[1] ** 2) if paired else None,
         **({"stop": "convergent"} if args.convergent else {}),
+        **({"start": "linear"} if args.linear_start else {}),
     )
     os.makedirs(args.output_dir, exist_ok=True)
     index_dir = os.path.abspath(os.path.expanduser(index_dir))

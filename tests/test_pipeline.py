@@ -379,3 +379,25 @@ def test_compress_id_roundtrip(tmp_path, index_dir, bam_file,
     assert len(lines) == 2
     # event name mapped back to the uncompressed gene ID
     assert lines[1].startswith("ENSMUSG00000019943\t")
+
+
+def test_linear_start_cli(workdir, index_dir, bam_file, settings_file):
+    """--linear-start seeds chains from the NNLS deconvolution
+    (MISO_START_LINEAR, miso.c:410-443) -- an API the reference exposes
+    only through C; the run must produce a valid .miso."""
+    import glob
+
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.io.miso_file import load_miso_file
+
+    out = str(workdir / "linear_out")
+    rc = miso_main(["--run", index_dir, bam_file,
+                    "--output-dir", out, "--read-len", "36",
+                    "--settings-filename", settings_file,
+                    "--linear-start"])
+    assert rc == 0
+    files = glob.glob(out + "/*/*.miso")
+    assert len(files) == 1
+    data = load_miso_file(files[0])
+    assert data.samples.shape[1] == 2
+    assert np.all(data.samples >= 0) and np.all(data.samples <= 1)
