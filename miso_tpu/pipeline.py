@@ -3,9 +3,12 @@
 The TPU-native replacement for the reference's process fan-out
 (misopy/miso.py:70-337 GenesDispatcher + run_miso.py:34-202
 compute_gene_psi): instead of forking a worker per gene batch, the host
-compiles every runnable event into dense tensors, buckets them by padded
-shape, and runs each bucket as ONE device program over (events x chains);
-outputs are then written per event in the reference's directory layout.
+compiles every runnable event into dense tensors (one streaming columnar
+scan per chromosome, prefetched one chromosome ahead), buckets them by
+padded shape, and runs each bucket as ONE device program over
+(events x chains); results stream back quantized to the output precision
+and the per-event `.miso` files (reference directory layout) are written
+on a pool while later buckets are still transferring.
 
 Per-event skip rules replicated:
 - no reads fetched (miso_sampler.py:229-231)
