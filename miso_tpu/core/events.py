@@ -16,7 +16,8 @@ import numpy as np
 from miso_tpu.core.fragments import normal_fragment
 from miso_tpu.core.gene import Gene
 from miso_tpu.core.matching import (ReadClasses, collapse_to_classes,
-                                    match_iso, match_iso_paired)
+                                    match_classes, match_iso,
+                                    match_iso_paired)
 
 NEG_INF = -np.inf
 
@@ -103,16 +104,49 @@ def compile_single_end(
     """Compile a single-end event.  Ref: pysplicing/src/miso.c:748-815."""
     if overhang == 0:
         overhang = 1
-    noiso = gene.num_isoforms
-    match = match_iso(gene, positions, cigars, read_len, overhang)
-    classes = collapse_to_classes(match)
+    # fused match + collapse (the (I, R) match matrix never materializes
+    # on the native path; identical classes either way)
+    classes, any_comp = match_classes(gene, positions, cigars, read_len,
+                                      overhang)
+    return _event_from_classes(gene, classes, any_comp, len(positions),
+                               read_len, overhang, hyper, name, algorithm)
 
-    efflen, raw = effective_lengths(gene, read_len, overhang)
+
+def _se_scores(raw: np.ndarray, efflen: np.ndarray):
+    """(isoscores, log_iso_w) from raw/clamped effective lengths.
+
+    isoscores_i = -log(raw_i); reference computes -log of the raw
+    (possibly <= 0) value (miso.c:783); we map non-positive to -inf.
+    """
     with np.errstate(divide="ignore", invalid="ignore"):
-        # isoscores_i = -log(raw_i); reference computes -log of the raw
-        # (possibly <= 0) value (miso.c:783); we map non-positive to -inf.
-        isoscores = np.where(raw > 0, -np.log(np.maximum(raw, 1e-300)), NEG_INF)
-        log_iso_w = np.where(efflen > 0, np.log(np.maximum(efflen, 1)), NEG_INF)
+        isoscores = np.where(raw > 0, -np.log(np.maximum(raw, 1e-300)),
+                             NEG_INF)
+        log_iso_w = np.where(efflen > 0, np.log(np.maximum(efflen, 1)),
+                             NEG_INF)
+    return isoscores, log_iso_w
+
+
+def _event_from_classes(
+    gene: Gene,
+    classes: ReadClasses,
+    any_comp: bool,
+    num_reads: int,
+    read_len: int,
+    overhang: int,
+    hyper: Optional[np.ndarray],
+    name: str,
+    algorithm: str,
+    scores=None,
+) -> CompiledEvent:
+    """Everything in compile_single_end after read-class collapse.
+    `scores` = precomputed (efflen, isoscores, log_iso_w) (the batch
+    compiler vectorizes them across a whole chromosome's genes)."""
+    noiso = gene.num_isoforms
+    if scores is not None:
+        efflen, isoscores, log_iso_w = scores
+    else:
+        efflen, raw = effective_lengths(gene, read_len, overhang)
+        isoscores, log_iso_w = _se_scores(raw, efflen)
 
     templates = classes.templates  # (I, C)
     weights = templates.T.astype(np.float64).copy()  # (C, I)
@@ -138,10 +172,10 @@ def compile_single_end(
         # assignment matrix + per-class read counts via support matching
         from miso_tpu.core.assignment import (assignment_matrix,
                                               norm_assignment_matrix)
-        from miso_tpu.core.matching import match_vector
+        from miso_tpu.core.matching import match_vector_from_classes
         A = assignment_matrix(gene, read_len, overhang)
         weights = norm_assignment_matrix(A).T        # (C_a, I)
-        counts = match_vector(match, A)
+        counts = match_vector_from_classes(classes, A)
     log_read = np.where(templates.T > 0, isoscores[None, :], 0.0)
     log_read = np.where(np.isfinite(log_read), log_read, 0.0)
     if algorithm == "classes" and log_read.shape[0] != weights.shape[0]:
@@ -150,13 +184,161 @@ def compile_single_end(
     if hyper is None:
         hyper = np.ones(noiso)
     return CompiledEvent(
-        name=name, gene=gene, num_iso=noiso, num_reads=len(positions),
+        name=name, gene=gene, num_iso=noiso, num_reads=num_reads,
         weights=weights, log_read=log_read,
         counts=counts,
         log_iso_w=log_iso_w, hyper=np.asarray(hyper, dtype=np.float64),
         classes=classes, paired=False,
-        any_compatible=bool((match > 0).any()),
+        any_compatible=any_comp,
     )
+
+
+def compile_single_end_many(
+    genes: List[Gene],
+    names: List[str],
+    scan,
+    read_len: int,
+    overhang: int = 1,
+    algorithm: str = "reassign",
+    min_event_reads: int = 0,
+    tables: Optional[dict] = None,
+    rows: Optional[np.ndarray] = None,
+) -> Optional[List[Optional[CompiledEvent]]]:
+    """Batch-compile every gene of a chromosome against ONE columnar scan
+    (io/sam.ChromReads) with a single native match+collapse call --
+    per-gene dispatch dominated host compile at catalog scale.
+
+    `tables`/`rows`: the index's precomputed whole-chromosome compile
+    tables (io/index.py::build_compile_tables) + each gene's row in
+    them; with tables the per-gene exon/length assembly is a vectorized
+    gather and the Gene objects are touched only for CompiledEvent
+    metadata.
+
+    Returns a list parallel to `genes` (None entries = skip rules:
+    <2 isoforms, <min_event_reads reads, no compatible read -- the
+    reference's per-gene skips, run_miso.py:141-146 /
+    miso_sampler.py:352-354), or None if the native batch path is
+    unavailable (caller falls back to per-gene compilation).
+    """
+    from miso_tpu import native
+
+    if overhang == 0:
+        overhang = 1
+    n = len(genes)
+    if n == 0:
+        return []
+    if len(scan.pos) == 0:
+        return None
+    if tables is not None and rows is not None:
+        rows = np.asarray(rows, np.int64)
+        spans = tables["span"][rows]
+        eidx_ofs = tables["gidx"][rows]
+        noiso_arr = tables["noiso"][rows]
+        exon_starts = tables["exon_starts"]
+        exon_ends = tables["exon_ends"]
+        exon_idx_flat = tables["exon_idx"]
+        # per-isoform gather (iso_lengths / num_exons) for the selected
+        # genes, fully vectorized
+        iso_ofs = np.zeros(n + 1, np.int64)
+        np.cumsum(noiso_arr, out=iso_ofs[1:])
+        take = (np.arange(iso_ofs[-1])
+                - np.repeat(iso_ofs[:-1], noiso_arr)
+                + np.repeat(tables["iso_ofs"][rows], noiso_arr))
+        isolen_all = tables["iso_lengths"][take]
+        nox_all = tables["iso_num_exons"][take]
+    else:
+        spans = np.array([g.genomic_span() for g in genes], np.int64)
+        starts_l, ends_l, idx_l, ofs_l = [], [], [], []
+        exon_base = row_base = 0
+        for g in genes:
+            s, e, idx = g.flat_exons()
+            starts_l.append(s)
+            ends_l.append(e)
+            idx_l.append(idx + exon_base)
+            ofs_l.append(row_base)
+            exon_base += len(s)
+            row_base += len(idx)
+        exon_starts = (np.concatenate(starts_l) if starts_l
+                       else np.zeros(0, np.int64))
+        exon_ends = (np.concatenate(ends_l) if ends_l
+                     else np.zeros(0, np.int64))
+        exon_idx_flat = (np.concatenate(idx_l) if idx_l
+                         else np.zeros(0, np.int64))
+        eidx_ofs = np.asarray(ofs_l, np.int64)
+        noiso_arr = np.array([g.num_isoforms for g in genes], np.int64)
+        iso_ofs = np.zeros(n + 1, np.int64)
+        np.cumsum(noiso_arr, out=iso_ofs[1:])
+        isolen_all = np.concatenate([g.iso_lengths for g in genes])
+        nox_all = np.concatenate([g.iso_num_exons_all for g in genes])
+    los = spans[:, 0] - 1   # 0-based region start (pipeline fetches lo-1)
+    his = spans[:, 1]       # half-open end
+    i0 = np.searchsorted(scan.pos, los - scan.max_span + 1, "left")
+    i1 = np.searchsorted(scan.pos, his, "left")
+    hit = native.match_classes_multi(
+        i0, i1, los, scan.pos, scan.ref_end,
+        scan.cigar_buf, scan.cigar_off,
+        exon_starts, exon_ends, exon_idx_flat, eidx_ofs, noiso_arr,
+        read_len, overhang, pos_offset=1)
+    if hit is None:
+        return None
+    masks, counts, class_ofs, nreads = hit
+    raw_all = isolen_all - read_len + 1 - 2 * (nox_all - 1) * (overhang - 1)
+    efflen_all = np.maximum(raw_all, 0)
+    isoscores_all, log_iso_w_all = _se_scores(raw_all, efflen_all)
+    # per-read score with incompatible/-inf mapped to 0, so
+    # log_read = weights * iso_clean (weights are {0,1})
+    iso_clean = np.where(np.isfinite(isoscores_all), isoscores_all, 0.0)
+    div_all = np.where(efflen_all != 0, efflen_all, 1).astype(np.float64)
+    shift_cache: dict = {}
+    ones_cache: dict = {}
+    out: List[Optional[CompiledEvent]] = []
+    for g in range(n):
+        gene = genes[g]
+        nr = int(nreads[g])
+        noiso = gene.num_isoforms
+        if noiso < 2 or nr == 0 or nr < min_event_reads:
+            out.append(None)
+            continue
+        c0, c1 = int(class_ofs[g]), int(class_ofs[g + 1])
+        shifts = shift_cache.get(noiso)
+        if shifts is None:
+            shifts = np.arange(noiso - 1, -1, -1, dtype=np.uint64
+                               )[:, None]
+            shift_cache[noiso] = shifts
+            ones_cache[noiso] = np.ones(noiso)
+        templates = ((masks[None, c0:c1] >> shifts) & 1
+                     ).astype(np.float64)
+        classes = ReadClasses(templates=templates, counts=counts[c0:c1])
+        # classes are in ascending bitmask order, so the one possible
+        # all-incompatible class (mask 0; dropped from device tensors,
+        # miso.c:65-66 -- see _event_from_classes) is always FIRST
+        d0 = 1 if masks[c0] == 0 else 0
+        if c1 - c0 <= d0:
+            out.append(None)  # no read compatible with any isoform
+            continue
+        i0, i1 = iso_ofs[g], iso_ofs[g + 1]
+        if algorithm == "classes":
+            out.append(_event_from_classes(
+                gene, classes, True, nr, read_len, overhang, None,
+                names[g], algorithm,
+                scores=(efflen_all[i0:i1], isoscores_all[i0:i1],
+                        log_iso_w_all[i0:i1])))
+            continue
+        weights = templates.T[d0:]          # (C_dev, I)
+        if algorithm == "marginal":
+            # match probabilities / effective length (miso.c:807-815)
+            weights = weights / div_all[i0:i1][None, :]
+            log_read = templates.T[d0:] * iso_clean[i0:i1][None, :]
+        else:
+            log_read = weights * iso_clean[i0:i1][None, :]
+        out.append(CompiledEvent(
+            name=names[g], gene=gene, num_iso=noiso, num_reads=nr,
+            weights=weights, log_read=log_read,
+            counts=counts[c0 + d0:c1],
+            log_iso_w=log_iso_w_all[i0:i1],
+            hyper=ones_cache[noiso],
+            classes=classes, paired=False, any_compatible=True))
+    return out
 
 
 def compile_paired_end(

@@ -89,15 +89,48 @@ class Gene:
 
     @property
     def iso_lengths(self) -> np.ndarray:
-        return np.array(
-            [self.iso_length(i) for i in range(self.num_isoforms)], dtype=np.int64
-        )
+        hit = self._exon_cache.get("__iso_lengths__")
+        if hit is None:
+            hit = np.array(
+                [self.iso_length(i) for i in range(self.num_isoforms)],
+                dtype=np.int64)
+            self._exon_cache["__iso_lengths__"] = hit
+        return hit
 
     @property
     def iso_num_exons_all(self) -> np.ndarray:
-        return np.array(
-            [self.iso_num_exons(i) for i in range(self.num_isoforms)], dtype=np.int64
-        )
+        hit = self._exon_cache.get("__iso_num_exons__")
+        if hit is None:
+            hit = np.array(
+                [self.iso_num_exons(i) for i in range(self.num_isoforms)],
+                dtype=np.int64)
+            self._exon_cache["__iso_num_exons__"] = hit
+        return hit
+
+    def flat_exons(self) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Flat (exon_starts, exon_ends, exon_idx) tables across all
+        isoforms -- the layout the native matchers consume (isoform i's
+        exons are rows exon_idx[i]..exon_idx[i+1]).  Cached on the gene;
+        index_gff warms it before pickling so catalog compiles skip the
+        per-isoform Python assembly entirely."""
+        hit = self._exon_cache.get("__flat__")
+        if hit is not None:
+            return hit
+        starts_l, ends_l, idx = [], [], [0]
+        for i in range(self.num_isoforms):
+            s, e = self.iso_exons(i)
+            starts_l.append(s)
+            ends_l.append(e)
+            idx.append(idx[-1] + len(s))
+        out = (np.ascontiguousarray(
+                   np.concatenate(starts_l) if starts_l
+                   else np.zeros(0, np.int64), np.int64),
+               np.ascontiguousarray(
+                   np.concatenate(ends_l) if ends_l
+                   else np.zeros(0, np.int64), np.int64),
+               np.asarray(idx, dtype=np.int64))
+        self._exon_cache["__flat__"] = out
+        return out
 
     def genomic_span(self) -> Tuple[int, int]:
         lo = min(p.start for p in self.parts)

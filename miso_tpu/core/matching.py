@@ -249,6 +249,55 @@ def collapse_to_classes(
     )
 
 
+def match_classes(
+    gene: Gene,
+    positions: np.ndarray,
+    cigars: Sequence[str],
+    read_len: int,
+    overhang: int = 1,
+) -> Tuple[ReadClasses, bool]:
+    """Single-end match + collapse in one step: (classes, any_compatible).
+
+    Dispatches to the fused native kernel (match_classes_native) which
+    skips the (I, R) match matrix entirely; identical classes/order to
+    collapse_to_classes(match_iso(...)).
+    """
+    if overhang == 0:
+        overhang = 1
+    if overhang < 1:
+        raise ValueError("Overhang length invalid. Must be positive")
+    if read_len < 0:
+        raise ValueError("Read length cannot be negative")
+    if len(positions) > 0:
+        from miso_tpu import native
+        hit = native.match_classes_native(gene, positions, cigars,
+                                          read_len, overhang)
+        if hit is not None:
+            templates, counts = hit
+            classes = ReadClasses(templates=templates, counts=counts)
+            return classes, bool(templates.any())
+    match = match_iso(gene, positions, cigars, read_len, overhang)
+    return collapse_to_classes(match), bool((match > 0).any())
+
+
+def match_vector_from_classes(
+    classes: ReadClasses, assignment_matrix: np.ndarray
+) -> np.ndarray:
+    """match_vector computed from collapsed classes (each class counts
+    `counts[c]` reads toward its first support-matching column).
+    Ref: pysplicing/src/solve.c:110-137."""
+    noiso, no_classes = assignment_matrix.shape
+    out = np.zeros(no_classes, dtype=np.float64)
+    read_support = classes.templates > 0          # (noiso, C)
+    class_support = assignment_matrix > 0         # (noiso, no_classes)
+    eq = (read_support.T[:, None, :]
+          == class_support.T[None, :, :]).all(axis=2)
+    hit = eq.argmax(axis=1)
+    has = eq.any(axis=1)
+    np.add.at(out, hit[has], classes.counts[has])
+    return out
+
+
 def match_vector(match: np.ndarray, assignment_matrix: np.ndarray) -> np.ndarray:
     """Count reads per assignment class by support-pattern matching.
 

@@ -252,6 +252,19 @@ def _reg2bin_vec(beg, end):
     return out
 
 
+_INFLATE_POOL = None
+
+
+def _inflate_pool():
+    """Shared 4-thread pool for parallel BGZF inflation (lazy; zlib
+    releases the GIL so threads scale on the scan path)."""
+    global _INFLATE_POOL
+    if _INFLATE_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _INFLATE_POOL = ThreadPoolExecutor(max_workers=4)
+    return _INFLATE_POOL
+
+
 class _BgzfStream:
     """Random-access BGZF block reader: per-thread file handles (region
     fetches run under the host compile thread pool) + a shared LRU cache
@@ -325,6 +338,83 @@ class _BgzfStream:
             while len(self._cache) > self._cache_blocks:
                 self._cache.popitem(last=False)
         return out
+
+    def blocks_run(self, coffset: int, max_bytes: int):
+        """Decode a RUN of consecutive blocks starting at `coffset`:
+        one file read of up to `max_bytes` compressed bytes, headers
+        parsed sequentially, payloads inflated on a shared thread pool
+        (zlib releases the GIL; whole-chromosome scans were
+        single-block-serial and decompression-bound at catalog scale).
+
+        Returns (blocks, next_coffset) where blocks is a list of
+        (block_coffset, decompressed_bytes); next_coffset == coffset
+        signals EOF.  Bypasses the LRU cache -- scans touch each block
+        exactly once."""
+        f = self._file()
+        f.seek(coffset)
+        raw = f.read(max_bytes)
+        n = len(raw)
+        metas = []  # (block offset within raw, cdata slice)
+        pos = 0
+        while pos + 12 <= n:
+            if raw[pos:pos + 2] != b"\x1f\x8b":
+                raise ValueError("%s: not BGZF at offset %d"
+                                 % (self.path, coffset + pos))
+            xlen = struct.unpack_from("<H", raw, pos + 10)[0]
+            if pos + 12 + xlen > n:
+                break
+            extra = raw[pos + 12:pos + 12 + xlen]
+            bsize = None
+            epos = 0
+            while epos + 6 <= len(extra):
+                si1, si2, slen = struct.unpack_from("<BBH", extra, epos)
+                if si1 == 66 and si2 == 67 and slen >= 2:
+                    bsize = struct.unpack_from("<H", extra, epos + 4)[0] + 1
+                epos += 4 + slen
+            if bsize is None:
+                raise ValueError("%s: missing BGZF BC field" % self.path)
+            clen = bsize - 12 - xlen - 8
+            if clen < 0:
+                raise ValueError("%s: corrupt BGZF BSIZE at offset %d"
+                                 % (self.path, coffset + pos))
+            if pos + bsize > n:
+                break  # partial block at the window edge
+            cstart = pos + 12 + xlen
+            metas.append((pos, raw[cstart:cstart + clen]))
+            pos += bsize
+        if not metas:
+            # EOF, or a block larger than max_bytes: single-block path
+            data, nxt = self.block_at(coffset)
+            return ([(coffset, data)] if nxt != coffset else []), nxt
+
+        def inflate(cdatas):
+            out = []
+            for cdata in cdatas:
+                try:
+                    d = zlib.decompressobj(wbits=-15)
+                    data = d.decompress(cdata, 1 << 16)
+                    if d.unconsumed_tail:
+                        raise ValueError(
+                            "%s: BGZF block exceeds the 64 KiB "
+                            "decompressed bound" % self.path)
+                    out.append(data)
+                except zlib.error as e:
+                    raise ValueError("%s: corrupt BGZF block (%s)"
+                                     % (self.path, e)) from None
+            return out
+
+        # a handful of contiguous groups, not one task per 64 KiB block:
+        # per-future overhead would otherwise eat the parallel win
+        if len(metas) < 8:
+            datas = inflate([m[1] for m in metas])
+        else:
+            pool = _inflate_pool()
+            step = (len(metas) + 3) // 4
+            groups = [[m[1] for m in metas[i:i + step]]
+                      for i in range(0, len(metas), step)]
+            datas = [d for grp in pool.map(inflate, groups) for d in grp]
+        return ([(coffset + m[0], d) for m, d in zip(metas, datas)],
+                coffset + pos)
 
 
 class _BgzfCursor:
@@ -604,34 +694,43 @@ class IndexedBamReader:
         base_target = window_target
         next_c = voffset >> 16
         skip = voffset & 0xFFFF
-        window = bytearray()
-        starts: List[int] = []   # block origin offsets within window
-        coffs: List[int] = []    # matching compressed offsets
+        chunks: List[bytes] = []  # window assembled by ONE join per
+        wlen = 0                  # batch (bytearray extend + bytes()
+        starts: List[int] = []    # cost two full copies per window)
+        coffs: List[int] = []     # matching compressed offsets
         first = True
         eof = False
         while True:
-            while len(window) < window_target and not eof:
-                data, nxt = self._bgzf.block_at(next_c)
+            while wlen < window_target and not eof:
+                # parallel-inflated run of consecutive blocks (one file
+                # read + pooled zlib) instead of block-at-a-time
+                blocks, nxt = self._bgzf.blocks_run(
+                    next_c, window_target - wlen + (1 << 16))
                 if nxt == next_c:
                     eof = True
                     break
-                if data:
+                for bc, data in blocks:
+                    if not data:
+                        continue
                     if first:
                         o = min(skip, len(data))
                         # origin may be negative: the block began o
                         # bytes before this window
-                        starts.append(len(window) - o)
-                        coffs.append(next_c)
-                        window.extend(data[o:])
+                        starts.append(wlen - o)
+                        coffs.append(bc)
+                        chunks.append(data[o:])
+                        wlen += len(data) - o
                         first = False
                     else:
-                        starts.append(len(window))
-                        coffs.append(next_c)
-                        window.extend(data)
+                        starts.append(wlen)
+                        coffs.append(bc)
+                        chunks.append(data)
+                        wlen += len(data)
                 next_c = nxt
-            if not window:
+            if wlen == 0:
                 return
-            buf = bytes(window)
+            buf = chunks[0] if len(chunks) == 1 else b"".join(chunks)
+            chunks = [buf]
             scan = native.bam_scan(buf)
             if scan is None:
                 raise _NativeUnavailable()
@@ -641,7 +740,7 @@ class IndexedBamReader:
                 # one record larger than the window: grow relative to the
                 # current window (the carried tail may already exceed the
                 # base target) so each retry admits new blocks
-                window_target = max(window_target, len(window)) * 2
+                window_target = max(window_target, wlen) * 2
                 continue
             starts_arr = np.array(starts + [len(buf)], np.int64)
             coffs_arr = np.array(coffs + [next_c], np.int64)
@@ -655,7 +754,8 @@ class IndexedBamReader:
                 return
             # carry the tail: keep blocks not fully consumed
             consumed = scan.consumed
-            del window[:consumed]
+            chunks = [buf[consumed:]]
+            wlen = len(buf) - consumed
             keep: List[int] = []
             for k, s in enumerate(starts):
                 blk_end = starts_arr[k + 1]
@@ -663,7 +763,7 @@ class IndexedBamReader:
                     keep.append(k)
             starts = [starts[k] - consumed for k in keep]
             coffs = [coffs[k] for k in keep]
-            if eof and not window:
+            if eof and wlen == 0:
                 return
 
     def _read_from_scan(self, scan, buf, i: int) -> AlignedRead:

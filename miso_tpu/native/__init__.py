@@ -45,7 +45,10 @@ def _build(so_path: str) -> bool:
 def load() -> Optional[ctypes.CDLL]:
     """Load (building if needed) the native library; None if unavailable."""
     global _LIB, _TRIED
-    if _LIB is not None or _TRIED:
+    # lock-free fast path checks ONLY _LIB: checking _TRIED here raced
+    # a concurrent first load (T1 holds the lock mid-build with
+    # _TRIED=True, T2 would return None and poison its scan)
+    if _LIB is not None:
         return _LIB
     with _LOCK:
         if _LIB is not None or _TRIED:
@@ -73,6 +76,29 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.c_int64, ctypes.c_int64,       # read_len, overhang
             f64p,                                 # out
         ]
+        # fused match+collapse: plain pointer args (the ndpointer
+        # from_param/cast machinery measurably taxed the 10k-gene
+        # compile profile at ~6 conversions per call)
+        vp = ctypes.c_void_p
+        lib.miso_match_classes.restype = ctypes.c_int64
+        lib.miso_match_classes.argtypes = [
+            vp, ctypes.c_int64,                   # positions
+            ctypes.c_char_p, vp,                  # cigar buf + offsets
+            vp, vp, vp, ctypes.c_int64,           # exons
+            ctypes.c_int64, ctypes.c_int64,       # read_len, overhang
+            vp, vp, ctypes.c_int64,               # out mask/count + cap
+        ]
+        lib.miso_match_classes_multi.restype = ctypes.c_int64
+        lib.miso_match_classes_multi.argtypes = [
+            vp, vp,                               # positions, ref_end
+            ctypes.c_char_p, vp,                  # cigar buf + offsets
+            ctypes.c_int64,                       # n_genes
+            vp, vp, vp,                           # read_lo/hi, span_start
+            vp, vp, vp, vp, vp,                   # exon tables + ofs/noiso
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            vp, vp, ctypes.c_int64,               # out mask/count + cap
+            vp, vp,                               # class_ofs, nreads
+        ]
         lib.miso_genomic_to_iso.restype = None
         lib.miso_genomic_to_iso.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
@@ -84,7 +110,7 @@ def load() -> Optional[ctypes.CDLL]:
             i64p,                                 # rec_off
             i32p, i32p, i32p, i32p, i32p, i32p,   # fixed fields + ref_end
             i64p, i32p,                           # qname off/len
-            ctypes.c_char_p, ctypes.c_int64, i64p,  # cigar buf/cap/off
+            ctypes.c_void_p, ctypes.c_int64, i64p,  # cigar buf/cap/off
             ctypes.POINTER(ctypes.c_int64),       # consumed
         ]
         lib.miso_pair_qnames.restype = ctypes.c_int64
@@ -145,23 +171,48 @@ def bam_scan(buf, start: int = 0,
         i32(), i32(), i32(), i32(), i32(), i32())
     qname_off = np.empty(cap, np.int64)
     qname_len = i32()
-    # 11 bytes/op worst case; records have >= 1 op slot each
+    # 11 bytes/op worst case; records have >= 1 op slot each.
+    # np.empty, not ctypes.create_string_buffer: the latter ZEROES the
+    # buffer (a full extra pass over ~3 bytes/op at catalog scale)
     cigar_cap = max(int(n - start) * 3 + 16, 1024)
-    cigar_buf = ctypes.create_string_buffer(cigar_cap)
+    cigar_arr = np.empty(cigar_cap, np.uint8)
     cigar_off = np.empty(cap + 1, np.int64)
     consumed = ctypes.c_int64(0)
     cnt = lib.miso_bam_scan(
         buf, n, start, cap, rec_off, ref_id, pos, flag, mapq, l_seq,
-        ref_end, qname_off, qname_len, cigar_buf, cigar_cap, cigar_off,
-        ctypes.byref(consumed))
+        ref_end, qname_off, qname_len, cigar_arr.ctypes.data, cigar_cap,
+        cigar_off, ctypes.byref(consumed))
     if cnt < 0:
         raise ValueError("corrupt BAM record in scan window")
+    used = int(cigar_off[cnt]) if cnt > 0 else 0
     return BamScan(int(cnt), rec_off[:cnt], ref_id[:cnt], pos[:cnt],
                    flag[:cnt], mapq[:cnt], l_seq[:cnt], ref_end[:cnt],
                    qname_off[:cnt], qname_len[:cnt],
-                   cigar_buf.raw[:int(cigar_off[cnt]) if cnt > 0 else 0],
+                   cigar_arr[:used].tobytes(),
                    cigar_off[:cnt + 1],
                    int(consumed.value))
+
+
+def _packed_cigars(cigars, n: int):
+    """(cigar_buf bytes, offsets int64 array) from either a PackedCigars
+    (zero-copy) or a sequence of strings (one joined encode)."""
+    if hasattr(cigars, "buf") and hasattr(cigars, "offsets"):
+        return cigars.buf, np.ascontiguousarray(cigars.offsets, np.int64)
+    if n:
+        # ONE encode of the whole join (per-read str.encode calls
+        # dominated the event-compile profile), then vectorized offset
+        # recovery from the NUL separators
+        cigar_buf = ("\x00".join(cigars) + "\x00").encode()
+        nuls = np.flatnonzero(np.frombuffer(cigar_buf, np.uint8) == 0)
+        offsets = np.concatenate([np.zeros(1, np.int64), nuls[:-1] + 1])
+        return cigar_buf, offsets
+    return b"", np.zeros(0, np.int64)
+
+
+def _flat_exons(gene):
+    """Flat (exon_starts, exon_ends, exon_idx) tables for the native
+    matchers (cached on the gene; warmed at index time)."""
+    return gene.flat_exons()
 
 
 def match_iso_native(gene, positions: np.ndarray, cigars,
@@ -178,28 +229,8 @@ def match_iso_native(gene, positions: np.ndarray, cigars,
     noiso = gene.num_isoforms
     n = len(positions)
     positions = np.ascontiguousarray(positions, dtype=np.int64)
-    if hasattr(cigars, "buf") and hasattr(cigars, "offsets"):
-        cigar_buf = cigars.buf
-        offsets = np.ascontiguousarray(cigars.offsets, np.int64)
-    elif n:
-        # ONE encode of the whole join (per-read str.encode calls
-        # dominated the event-compile profile), then vectorized offset
-        # recovery from the NUL separators
-        cigar_buf = ("\x00".join(cigars) + "\x00").encode()
-        nuls = np.flatnonzero(np.frombuffer(cigar_buf, np.uint8) == 0)
-        offsets = np.concatenate([np.zeros(1, np.int64), nuls[:-1] + 1])
-    else:
-        cigar_buf = b""
-        offsets = np.zeros(0, np.int64)
-    starts_l, ends_l, idx = [], [], [0]
-    for i in range(noiso):
-        s, e = gene.iso_exons(i)
-        starts_l.append(s)
-        ends_l.append(e)
-        idx.append(idx[-1] + len(s))
-    exon_starts = np.ascontiguousarray(np.concatenate(starts_l), np.int64)
-    exon_ends = np.ascontiguousarray(np.concatenate(ends_l), np.int64)
-    exon_idx = np.asarray(idx, dtype=np.int64)
+    cigar_buf, offsets = _packed_cigars(cigars, n)
+    exon_starts, exon_ends, exon_idx = _flat_exons(gene)
     out = np.zeros((noiso, n), dtype=np.float64)
     rc = lib.miso_match_iso(
         positions, n, cigar_buf, offsets,
@@ -209,6 +240,102 @@ def match_iso_native(gene, positions: np.ndarray, cigars,
         from miso_tpu.core.cigar import CigarError
         raise CigarError("Bad CIGAR string in native matcher")
     return out
+
+
+def match_classes_native(gene, positions: np.ndarray, cigars,
+                         read_len: int, overhang: int):
+    """Fused match + class collapse for a single-end event.
+
+    Returns (templates (I, C) float64 {0,1}, counts (C,) float64) with
+    classes in ascending bitmask order -- byte-identical to
+    core/matching.py::collapse_to_classes(match_iso(...)) -- without
+    ever materializing the (I, R) match matrix.  None if the native
+    library is unavailable or noiso > 62 (bitmask key width).
+    Ref: pysplicing/src/solve.c:8-108 + miso_paired.c:576-619.
+    """
+    lib = load()
+    noiso = gene.num_isoforms
+    if lib is None or noiso > 62:
+        return None
+    n = len(positions)
+    positions = np.ascontiguousarray(positions, dtype=np.int64)
+    cigar_buf, offsets = _packed_cigars(cigars, n)
+    exon_starts, exon_ends, exon_idx = _flat_exons(gene)
+    cap = n + 1
+    out_mask = np.empty(cap, np.uint64)
+    out_count = np.empty(cap, np.int64)
+    nc = lib.miso_match_classes(
+        positions.ctypes.data, n, cigar_buf, offsets.ctypes.data,
+        exon_starts.ctypes.data, exon_ends.ctypes.data,
+        exon_idx.ctypes.data, noiso, read_len, overhang,
+        out_mask.ctypes.data, out_count.ctypes.data, cap)
+    if nc == -1:
+        from miso_tpu.core.cigar import CigarError
+        raise CigarError("Bad CIGAR string in native matcher")
+    if nc < 0:
+        return None
+    shifts = np.arange(noiso - 1, -1, -1, dtype=np.uint64)
+    templates = ((out_mask[None, :nc] >> shifts[:, None]) & 1
+                 ).astype(np.float64)
+    return templates, out_count[:nc].astype(np.float64)
+
+
+def match_classes_multi(read_lo, read_hi, span_start,
+                        positions, ref_end, cigar_buf, cigar_offsets,
+                        exon_starts, exon_ends, exon_idx_flat,
+                        eidx_ofs, noiso_arr,
+                        read_len: int, overhang: int, pos_offset: int = 1):
+    """Whole-chromosome batch match+collapse: ONE native call compiles
+    read classes for every gene against the chromosome's columnar read
+    pool (ChromReads arrays).  Gene g considers reads
+    [read_lo[g], read_hi[g]) with ref_end > span_start[g] -- exactly
+    ChromReads.slice's region mask.  Gene g's exon_idx block starts at
+    exon_idx_flat[eidx_ofs[g]] (noiso_arr[g]+1 global entries) -- the
+    layout of the index's precomputed compile tables.
+
+    Returns (masks (uint64 flat), counts (float64 flat), class_ofs
+    (n_genes+1,), nreads (n_genes,)) or None if unavailable.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n_genes = len(read_lo)
+    if noiso_arr.size and noiso_arr.max() > 62:
+        return None
+    exon_starts = np.ascontiguousarray(exon_starts, np.int64)
+    exon_ends = np.ascontiguousarray(exon_ends, np.int64)
+    exon_idx_flat = np.ascontiguousarray(exon_idx_flat, np.int64)
+    eidx_ofs = np.ascontiguousarray(eidx_ofs, np.int64)
+    noiso_arr = np.ascontiguousarray(noiso_arr, np.int64)
+    read_lo = np.ascontiguousarray(read_lo, np.int64)
+    read_hi = np.ascontiguousarray(read_hi, np.int64)
+    span_start = np.ascontiguousarray(span_start, np.int64)
+    positions = np.ascontiguousarray(positions, np.int64)
+    ref_end = np.ascontiguousarray(ref_end, np.int64)
+    cigar_offsets = np.ascontiguousarray(cigar_offsets, np.int64)
+    cap = int((read_hi - read_lo).sum()) + n_genes
+    out_mask = np.empty(cap, np.uint64)
+    out_count = np.empty(cap, np.int64)
+    class_ofs = np.empty(n_genes + 1, np.int64)
+    nreads = np.empty(n_genes, np.int64)
+    rc = lib.miso_match_classes_multi(
+        positions.ctypes.data, ref_end.ctypes.data,
+        cigar_buf, cigar_offsets.ctypes.data, n_genes,
+        read_lo.ctypes.data, read_hi.ctypes.data, span_start.ctypes.data,
+        exon_starts.ctypes.data, exon_ends.ctypes.data,
+        exon_idx_flat.ctypes.data, eidx_ofs.ctypes.data,
+        noiso_arr.ctypes.data,
+        read_len, overhang, pos_offset,
+        out_mask.ctypes.data, out_count.ctypes.data, cap,
+        class_ofs.ctypes.data, nreads.ctypes.data)
+    if rc == -1:
+        from miso_tpu.core.cigar import CigarError
+        raise CigarError("Bad CIGAR string in native matcher")
+    if rc != 0:
+        return None
+    n_cls = int(class_ofs[n_genes])
+    return (out_mask[:n_cls], out_count[:n_cls].astype(np.float64),
+            class_ofs, nreads)
 
 
 def pair_qnames(buf, qname_off, qname_len):

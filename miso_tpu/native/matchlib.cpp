@@ -8,14 +8,34 @@
 // Exposed with a plain C ABI for ctypes (no pybind11 in this image).
 //
 // Build: cc -O2 -shared -fPIC matchlib.cpp -o libmisomatch.so
+#include <algorithm>
 #include <cstdint>
 #include <cstring>
 #include <cstdlib>
+#include <string_view>
 #include <unordered_map>
 #include <vector>
 #include <string>
 
 namespace {
+
+// (position, cigar) signature key without per-read string allocation:
+// the cigar bytes live in the caller's packed buffer for the whole call
+struct SigKey {
+    int64_t pos;
+    std::string_view cig;
+    bool operator==(const SigKey& o) const {
+        return pos == o.pos && cig == o.cig;
+    }
+};
+
+struct SigKeyHash {
+    size_t operator()(const SigKey& k) const {
+        size_t h = std::hash<std::string_view>()(k.cig);
+        return h ^ (std::hash<int64_t>()(k.pos) + 0x9e3779b97f4a7c15ULL +
+                    (h << 6) + (h >> 2));
+    }
+};
 
 struct NumCigar {
     std::vector<int64_t> runs;  // + exon-consuming, - intron skip
@@ -161,6 +181,191 @@ int64_t miso_match_iso(
         for (int64_t i = 0; i < noiso; i++) {
             out_match[(size_t)i * n_reads + r] = src[i];
         }
+    }
+    return 0;
+}
+
+// Fused match + read-class collapse for single-end events (noiso <= 62).
+// The match values are {0,1}, so each read reduces to a bitmask over
+// isoforms; identical masks form one compatibility class
+// (pysplicing/src/miso_paired.c:576-619 splicing_i_miso_classes1, done
+// here without ever materializing the noiso x noreads match matrix).
+// Bit layout parity with core/matching.py::collapse_to_classes: isoform 0
+// is the MOST significant bit, classes sorted ascending by mask key.
+//   out_mask / out_count: capacity `cap` >= number of distinct masks
+//     (n_reads is always enough).
+// Returns the class count (>= 0), -1 on a bad cigar, -2 on overflow.
+int64_t miso_match_classes(
+    const int64_t* positions, int64_t n_reads,
+    const char* cigar_buf, const int64_t* cigar_offsets,
+    const int64_t* exon_starts, const int64_t* exon_ends,
+    const int64_t* exon_idx, int64_t noiso,
+    int64_t read_len, int64_t overhang,
+    uint64_t* out_mask, int64_t* out_count, int64_t cap) {
+    if (overhang == 0) overhang = 1;
+    if (noiso > 62) return -2;
+
+    // dedup (pos, cigar) signatures, counting reads per signature
+    std::unordered_map<std::string, int64_t> sig_index;
+    std::vector<std::pair<int64_t, const char*>> sigs;
+    std::vector<int64_t> sig_count;
+    sig_index.reserve(n_reads * 2);
+    for (int64_t r = 0; r < n_reads; r++) {
+        const char* cig = cigar_buf + cigar_offsets[r];
+        std::string key = std::to_string(positions[r]);
+        key += '|';
+        key += cig;
+        auto it = sig_index.find(key);
+        if (it == sig_index.end()) {
+            int64_t id = (int64_t)sigs.size();
+            sig_index.emplace(std::move(key), id);
+            sigs.emplace_back(positions[r], cig);
+            sig_count.push_back(1);
+        } else {
+            sig_count[it->second]++;
+        }
+    }
+
+    std::unordered_map<std::string, NumCigar> cigar_cache;
+    std::unordered_map<uint64_t, int64_t> mask_count;
+    mask_count.reserve(sigs.size() * 2);
+    for (size_t s = 0; s < sigs.size(); s++) {
+        const char* cig = sigs[s].second;
+        auto it = cigar_cache.find(cig);
+        if (it == cigar_cache.end()) {
+            NumCigar nc;
+            if (!parse_cigar(cig, read_len, &nc)) return -1;
+            it = cigar_cache.emplace(cig, std::move(nc)).first;
+        }
+        const NumCigar& nc = it->second;
+        uint64_t mask = 0;
+        // read-length filter (solve.c:55) + overhang filter (solve.c:61):
+        // filtered reads keep mask 0 (the all-incompatible class)
+        if (nc.length >= read_len && !nc.runs.empty() &&
+            nc.runs.front() >= overhang && nc.runs.back() >= overhang) {
+            for (int64_t i = 0; i < noiso; i++) {
+                const int64_t* st = exon_starts + exon_idx[i];
+                const int64_t* en = exon_ends + exon_idx[i];
+                int64_t nex = exon_idx[i + 1] - exon_idx[i];
+                if (match_one(st, en, nex, sigs[s].first, nc.runs) > 0.0)
+                    mask |= (uint64_t)1 << (noiso - 1 - i);
+            }
+        }
+        mask_count[mask] += sig_count[s];
+    }
+
+    if ((int64_t)mask_count.size() > cap) return -2;
+    std::vector<uint64_t> keys;
+    keys.reserve(mask_count.size());
+    for (auto& kv : mask_count) keys.push_back(kv.first);
+    std::sort(keys.begin(), keys.end());
+    for (size_t c = 0; c < keys.size(); c++) {
+        out_mask[c] = keys[c];
+        out_count[c] = mask_count[keys[c]];
+    }
+    return (int64_t)keys.size();
+}
+
+// Whole-chromosome batch of miso_match_classes: one call compiles read
+// classes for EVERY gene on a chromosome against one columnar read pool
+// (io/sam.py ChromReads arrays).  Per-gene ctypes dispatch and dedup-map
+// allocation dominated the 10k-gene host-compile profile; here the CIGAR
+// parse cache persists across genes and Python is re-entered once.
+//
+//   positions/ref_end/cigar_offsets: chromosome-level arrays (0-based,
+//     coordinate-sorted); cigar_buf NUL-terminated packed strings.
+//   read_lo/read_hi: gene g considers reads [read_lo[g], read_hi[g]);
+//     reads with ref_end <= span_start[g] are skipped -- exactly
+//     ChromReads.slice's region mask (pos < end is the read_hi bound).
+//   eidx_ofs/noiso: (n_genes,) gene g's exon_idx block is
+//     exon_idx_flat[eidx_ofs[g] .. eidx_ofs[g]+noiso[g]+1) -- noiso[g]+1
+//     entries of GLOBAL indices into exon_starts/ends.  (Offsets, not a
+//     cumulative array: callers gather them from whole-chromosome
+//     compile tables for an arbitrary subset of genes.)
+//   pos_offset: added to each position before matching (0-based BAM ->
+//     1-based matcher coordinates, miso_sampler.py:284).
+//   out_mask/out_count: flat class stream; out_class_ofs (n_genes+1,)
+//     delimits gene g's classes; out_nreads (n_genes,) = reads considered.
+// Returns 0, -1 on bad cigar, -2 on overflow/noiso > 62.
+int64_t miso_match_classes_multi(
+    const int64_t* positions, const int64_t* ref_end,
+    const char* cigar_buf, const int64_t* cigar_offsets,
+    int64_t n_genes,
+    const int64_t* read_lo, const int64_t* read_hi,
+    const int64_t* span_start,
+    const int64_t* exon_starts, const int64_t* exon_ends,
+    const int64_t* exon_idx_flat, const int64_t* eidx_ofs,
+    const int64_t* noiso_arr,
+    int64_t read_len, int64_t overhang, int64_t pos_offset,
+    uint64_t* out_mask, int64_t* out_count, int64_t cap,
+    int64_t* out_class_ofs, int64_t* out_nreads) {
+    if (overhang == 0) overhang = 1;
+    std::unordered_map<std::string_view, NumCigar> cigar_cache;
+    std::unordered_map<SigKey, int64_t, SigKeyHash> sig_index;
+    std::vector<std::pair<int64_t, const char*>> sigs;
+    std::vector<int64_t> sig_count;
+    std::unordered_map<uint64_t, int64_t> mask_count;
+    std::vector<uint64_t> keys;
+    int64_t written = 0;
+    out_class_ofs[0] = 0;
+    for (int64_t g = 0; g < n_genes; g++) {
+        int64_t noiso = noiso_arr[g];
+        if (noiso > 62) return -2;
+        const int64_t* eidx = exon_idx_flat + eidx_ofs[g];
+        sig_index.clear();
+        sigs.clear();
+        sig_count.clear();
+        mask_count.clear();
+        int64_t considered = 0;
+        for (int64_t r = read_lo[g]; r < read_hi[g]; r++) {
+            if (ref_end[r] <= span_start[g]) continue;
+            considered++;
+            const char* cig = cigar_buf + cigar_offsets[r];
+            SigKey key{positions[r], std::string_view(cig)};
+            auto it = sig_index.find(key);
+            if (it == sig_index.end()) {
+                int64_t id = (int64_t)sigs.size();
+                sig_index.emplace(key, id);
+                sigs.emplace_back(positions[r] + pos_offset, cig);
+                sig_count.push_back(1);
+            } else {
+                sig_count[it->second]++;
+            }
+        }
+        out_nreads[g] = considered;
+        for (size_t s = 0; s < sigs.size(); s++) {
+            const char* cig = sigs[s].second;
+            auto it = cigar_cache.find(std::string_view(cig));
+            if (it == cigar_cache.end()) {
+                NumCigar nc;
+                if (!parse_cigar(cig, read_len, &nc)) return -1;
+                it = cigar_cache.emplace(std::string_view(cig),
+                                         std::move(nc)).first;
+            }
+            const NumCigar& nc = it->second;
+            uint64_t mask = 0;
+            if (nc.length >= read_len && !nc.runs.empty() &&
+                nc.runs.front() >= overhang && nc.runs.back() >= overhang) {
+                for (int64_t i = 0; i < noiso; i++) {
+                    const int64_t* st = exon_starts + eidx[i];
+                    const int64_t* en = exon_ends + eidx[i];
+                    int64_t nex = eidx[i + 1] - eidx[i];
+                    if (match_one(st, en, nex, sigs[s].first, nc.runs) > 0.0)
+                        mask |= (uint64_t)1 << (noiso - 1 - i);
+                }
+            }
+            mask_count[mask] += sig_count[s];
+        }
+        if (written + (int64_t)mask_count.size() > cap) return -2;
+        keys.clear();
+        for (auto& kv : mask_count) keys.push_back(kv.first);
+        std::sort(keys.begin(), keys.end());
+        for (uint64_t k : keys) {
+            out_mask[written] = k;
+            out_count[written] = mask_count[k];
+            written++;
+        }
+        out_class_ofs[g + 1] = written;
     }
     return 0;
 }

@@ -2,13 +2,14 @@
 
 The TPU-native replacement for the reference's process fan-out
 (misopy/miso.py:70-337 GenesDispatcher + run_miso.py:34-202
-compute_gene_psi): instead of forking a worker per gene batch, the host
-compiles every runnable event into dense tensors (one streaming columnar
-scan per chromosome, prefetched one chromosome ahead), buckets them by
-padded shape, and runs each bucket as ONE device program over
-(events x chains); results stream back quantized to the output precision
-and the per-event `.miso` files (reference directory layout) are written
-on a pool while later buckets are still transferring.
+compute_gene_psi): instead of forking a worker per gene batch, a host
+producer thread compiles events chromosome-by-chromosome (one streaming
+columnar scan + ONE native match+collapse call per chromosome,
+prefetched one chromosome ahead) while the main thread buckets finished
+events by padded shape and dispatches full buckets to the device -- host
+compile, device sampling, quantized readback, and .miso writes all
+overlap, so catalog wall-clock is ~max(compile, device+transfer) instead
+of their sum.
 
 Per-event skip rules replicated:
 - no reads fetched (miso_sampler.py:229-231)
@@ -21,14 +22,17 @@ from __future__ import annotations
 
 import dataclasses
 import os
+import queue as queue_mod
+import threading
 import time
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from miso_tpu.core.events import (CompiledEvent, bucket_events,
+from miso_tpu.core.events import (CompiledEvent, bucket_events, _round_up,
+                                  _round_up_iso, _round_up_reads,
                                   compile_paired_end, compile_single_end,
-                                  pad_events)
+                                  compile_single_end_many, pad_events)
 from miso_tpu.core.gene import Gene
 from miso_tpu.io import sam as sam_io
 from miso_tpu.io.index import get_gene_ids_to_filenames, load_indexed_gene
@@ -162,54 +166,262 @@ def resolve_mesh(mesh="auto"):
     return make_event_mesh(devices)
 
 
-def run_events(
-    events: List[CompiledEvent],
-    cfg: RunConfig,
-    seed: int = 0,
-    mesh="auto",
-    bucket_stats: Optional[list] = None,
-    on_chunk=None,
-):
-    """Run compiled events through the device sampler, bucketed by shape.
+def _bucket_key(ev: CompiledEvent) -> Tuple[int, int, int]:
+    return (_round_up_iso(ev.num_iso),
+            _round_up(max(ev.num_classes, 1)),
+            _round_up_reads(max(int(ev.counts.sum()), 1)))
 
-    Events are sharded over all local devices (see `resolve_mesh`); pass
-    mesh=None to force single-device execution, or an explicit
-    jax.sharding.Mesh.
+
+class StreamRunner:
+    """Streaming device dispatcher: events arrive one at a time (from the
+    compile producer), accumulate into (pad_iso, pad_classes, pad_reads)
+    shape buckets, and every full bucket is dispatched to the device
+    immediately -- device execution overlaps further host compile, and a
+    dedicated materializer thread pulls finished chunks back so the
+    device->host transfer (the dominant phase on remote runtimes)
+    overlaps both.
+
+    `on_chunk(tags, results)` fires on the materializer thread as soon
+    as a chunk's results land on the host (results[i] is the result dict
+    for the event added with tags[i]).
 
     `bucket_stats`, if given, collects one dict per device batch:
     {shape, events, seconds, events_per_s} -- the per-bucket device-time
     counters the reference lacks (its only timer is the per-event
     wall-clock print, miso_sampler.py:373).
 
-    Non-convergent buckets are DISPATCHED first and materialized after:
-    JAX's async dispatch then overlaps bucket N's device execution with
-    bucket N-1's host readback (the quantized psi fetch that dominates
-    on remote runtimes).  Chunk event axes are padded to a bounded shape
-    set (powers of two up to max_batch_events, via _pow2_pad_events) so
-    arbitrary catalog sizes never mint new compile shapes.
-
-    `on_chunk(indices, results)`, if given, fires as soon as each
-    chunk's results land in the output list -- the caller can start
-    writing files while later chunks are still transferring.
-
-    Returns a list parallel to `events` of per-event result dicts.
+    Chunk event axes are padded to a bounded shape set (powers of two up
+    to max_batch_events, via _pow2_pad_events) so arbitrary catalog
+    sizes never mint new compile shapes.  PRNG chunk keys reproduce the
+    batch run_events keys exactly (fold of chunk offset + shape axes).
     """
-    import jax
-    import jax.numpy as jnp
 
-    from miso_tpu.sampler.mcmc import _pow2_pad_events
+    MAX_PENDING = 4  # chunks of device-side lookahead (HBM retention)
 
-    enable_compilation_cache()
-    mesh = resolve_mesh(mesh)
+    def __init__(self, cfg: RunConfig, seed: int = 0, mesh="auto",
+                 bucket_stats: Optional[list] = None, on_chunk=None):
+        enable_compilation_cache()
+        self.cfg = cfg
+        self.seed = seed
+        self.mesh = resolve_mesh(mesh)
+        self.bucket_stats = bucket_stats
+        self.on_chunk = on_chunk
+        self.sampler_cfg_base = SamplerConfig(
+            iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
+            chains=cfg.chains, algorithm=cfg.algorithm)
+        self.buckets: Dict[Tuple[int, int, int], Tuple[list, list]] = {}
+        self.bucket_off: Dict[Tuple[int, int, int], int] = {}
+        self._pending: "queue_mod.Queue" = queue_mod.Queue(
+            maxsize=self.MAX_PENDING)
+        self._mat_err: list = []
+        self._mat_thread = threading.Thread(
+            target=self._materialize_loop, daemon=True)
+        self._mat_thread.start()
 
-    sampler_cfg_base = SamplerConfig(
-        iters=cfg.iters, burn_in=cfg.burn_in, lag=cfg.lag,
-        chains=cfg.chains, algorithm=cfg.algorithm)
-    out: List[Optional[dict]] = [None] * len(events)
-    pending: List[dict] = []
+    # ------------------------------------------------------------ intake
+    def add(self, ev: CompiledEvent, tag=None) -> None:
+        key = _bucket_key(ev)
+        evs, tags = self.buckets.setdefault(key, ([], []))
+        evs.append(ev)
+        tags.append(ev if tag is None else tag)
+        if len(evs) >= self.cfg.max_batch_events:
+            del self.buckets[key]
+            self._dispatch(key, evs, tags)
+        self._check_err()
 
-    def _materialize_chunk(p: dict) -> None:
-        chunk = p["chunk"]
+    def finish(self) -> None:
+        """Flush partial buckets, drain pending chunks, join threads."""
+        for key in sorted(self.buckets):
+            evs, tags = self.buckets[key]
+            if evs:
+                self._dispatch(key, evs, tags)
+        self.buckets.clear()
+        self._put(None)
+        self._mat_thread.join()
+        self._check_err()
+
+    def _put(self, item) -> None:
+        """Bounded put that cannot deadlock if the materializer died."""
+        while True:
+            try:
+                self._pending.put(item, timeout=5)
+                return
+            except queue_mod.Full:
+                self._check_err()
+                if not self._mat_thread.is_alive():
+                    raise RuntimeError("materializer thread died")
+
+    def _check_err(self):
+        if self._mat_err:
+            raise self._mat_err[0]
+
+    # ---------------------------------------------------------- dispatch
+    def _dispatch(self, key, evs, tags) -> None:
+        import jax
+        import jax.numpy as jnp
+
+        from miso_tpu.sampler.mcmc import _pow2_pad_events
+
+        cfg = self.cfg
+        pad_iso, pad_classes, pad_reads = key
+        t_bucket = time.time()
+        # very deep events: per-class multinomial Gibbs keeps device
+        # memory and per-iteration work O(classes) instead of O(reads)
+        # -- the per-read tensors are never materialized
+        # (docs/DEEP_EVENTS.md)
+        deep = pad_reads > 16384 and cfg.algorithm == "reassign"
+        pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes,
+                         pad_reads=pad_reads, per_read=not deep)
+        batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
+        sampler_cfg = self.sampler_cfg_base
+        if deep:
+            sampler_cfg = dataclasses.replace(self.sampler_cfg_base,
+                                              gibbs="multinomial")
+        # key mixing must include EVERY bucket-shape axis AND the chunk
+        # offset within the bucket: buckets differing only in pad_reads
+        # (or successive chunks) would otherwise replay identical
+        # per-(event, chain) random streams, correlating Monte-Carlo
+        # error across the catalog
+        lo = self.bucket_off.get(key, 0)
+        self.bucket_off[key] = lo + cfg.max_batch_events
+        kkey = jax.random.fold_in(
+            jax.random.fold_in(jax.random.PRNGKey(self.seed),
+                               lo + pad_iso * 131071
+                               + pad_classes * 8191),
+            pad_reads)
+        start_psi = None
+        if cfg.start == "linear":
+            from miso_tpu.core.assignment import linear_start_psi
+            I_pad = batch.weights.shape[2]
+            sp = np.zeros((len(evs), cfg.chains, I_pad), np.float32)
+            for j, ev in enumerate(evs):
+                try:
+                    expr = linear_start_psi(ev, cfg.read_len,
+                                            cfg.overhang_len)
+                except Exception:
+                    expr = np.full(ev.num_iso, 1.0 / ev.num_iso)
+                sp[j, :, :ev.num_iso] = expr[None, :]
+            start_psi = sp
+        backend = cfg.backend
+        if backend == "auto":
+            # measured on v5e at E=2048: fused Pallas kernels beat the
+            # XLA scan on every algorithm (docs/VALIDATION.md)
+            backend = ("pallas" if jax.default_backend() == "tpu"
+                       and (cfg.algorithm in ("marginal", "classes")
+                            or sampler_cfg.gibbs == "perread")
+                       else "xla")
+        if cfg.stop == "convergent":
+            # R-hat <= 1.1 adaptive stopping (miso.c:903-928): only
+            # unconverged events re-run, with extended schedules.
+            # GIVEN-start kernel support keeps continuation rounds on
+            # the fused Pallas path.  Synchronous on the dispatch
+            # thread (each adaptive round needs the previous round's
+            # R-hat on the host).
+            from miso_tpu.sampler.mcmc import run_batch_convergent
+            conv_res, _ = run_batch_convergent(
+                kkey, batch, sampler_cfg, max_iters=cfg.max_iters,
+                mesh=self.mesh, start_psi=start_psi, backend=backend)
+            results = []
+            for j, ev in enumerate(evs):
+                r = conv_res[j]
+                k = ev.num_iso
+                fn = r["final_n"][0, :k]
+                if cfg.algorithm != "reassign":
+                    # final assignment pass from the END-OF-CHAIN psi
+                    # (chain 0), as in the fixed-stop path
+                    # (miso.c:935-947)
+                    fn = ev.final_assignment_counts(r["final_psi"][0, :k])
+                results.append({
+                    "samples": r["samples"][:, :k],
+                    "loglik": r["loglik"],
+                    "percent_accept": 100.0 * r["accepted"]
+                        / max(r["accepted"] + r["rejected"], 1),
+                    "final_n": fn,
+                    "iters": int(r["iters"]),
+                    "burn_in": int(r["burn_in"]),
+                })
+            if self.bucket_stats is not None:
+                dt = time.time() - t_bucket
+                self.bucket_stats.append({
+                    "shape": key, "events": len(evs), "seconds": dt,
+                    "events_per_s": len(evs) / max(dt, 1e-9),
+                    "stop": "convergent"})
+            if self.on_chunk is not None:
+                self.on_chunk(tags, results)
+            return
+        # bounded compile shapes: pad the event axis to a power of two
+        # (full chunks of max_batch_events stay untouched when it is
+        # one) -- arbitrary catalog sizes reuse cached shapes
+        batch, start_psi = _pow2_pad_events(batch, start_psi, len(evs))
+        sp_j = (None if start_psi is None
+                else jax.numpy.asarray(start_psi))
+        if self.mesh is not None:
+            from miso_tpu.parallel.mesh import run_batch_sharded
+            res = run_batch_sharded(kkey, batch, sampler_cfg,
+                                    mesh=self.mesh, backend=backend,
+                                    start_psi=start_psi)
+        elif (backend == "pallas"
+              and cfg.algorithm in ("marginal", "classes")):
+            from miso_tpu.sampler.pallas_marginal import (
+                run_batch_pallas_marginal)
+            res = run_batch_pallas_marginal(kkey, batch, sampler_cfg,
+                                            start_psi=sp_j)
+        elif (backend == "pallas" and cfg.algorithm == "reassign"
+              and sampler_cfg.gibbs == "perread"):
+            from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+            res = run_batch_pallas(kkey, batch, sampler_cfg,
+                                   start_psi=sp_j)
+        else:
+            res = run_batch(kkey, batch, sampler_cfg, start_psi=sp_j)
+        # fetch psi quantized to 1e-4 on device: exactly the .miso
+        # output precision ("%.4f"), at a quarter of the bytes --
+        # device->host transfer dominates on remote runtimes.
+        # 2-isoform buckets (the dominant class) fetch ONLY column 0;
+        # psi_2 = 1 - psi_1 reconstructs on the host.  Recorded
+        # log-scores travel as per-event-offset uint16 centipoints
+        # (the ".2f" output precision); rare events whose score range
+        # exceeds the uint16 span fall back to their f32 rows.
+        # Transfers are NOT forced here: the materializer thread pulls
+        # them while this thread dispatches the next chunk.
+        flat_psi = res.flat_samples()
+        if pad_iso == 2:
+            quant = jnp.round(flat_psi[:, :, 0] * 1e4).astype(jnp.uint16)
+        else:
+            quant = jnp.round(flat_psi * 1e4).astype(jnp.uint16)
+        ll = res.flat_loglik()
+        cents = jnp.round(ll * 100.0)
+        cmin = jnp.min(cents, axis=1)
+        cmax = jnp.max(cents, axis=1)
+        resid = jnp.clip(cents - cmin[:, None], 0, 65535).astype(jnp.uint16)
+        # bound device-memory retention: each pending chunk pins its
+        # full-precision loglik (the wide-row fallback source) plus the
+        # quantized buffers in HBM; the bounded queue supplies a few
+        # chunks of transfer/compute overlap and backpressure beyond it
+        self._put({
+            "evs": evs, "tags": tags, "quant": quant,
+            "two_iso": pad_iso == 2,
+            "ll_min": cmin, "ll_max": cmax, "ll_resid": resid,
+            "ll_full": ll, "accepted": res.accepted,
+            "rejected": res.rejected, "final_n": res.final_n,
+            "final_psi": res.final_psi, "backend": backend,
+            "t0": t_bucket, "shape": key})
+        self._check_err()
+
+    # ------------------------------------------------------- materialize
+    def _materialize_loop(self):
+        while True:
+            p = self._pending.get()
+            if p is None:
+                return
+            try:
+                self._materialize_chunk(p)
+            except BaseException as e:  # surfaced on the caller thread
+                self._mat_err.append(e)
+                return
+
+    def _materialize_chunk(self, p: dict) -> None:
+        cfg = self.cfg
+        evs = p["evs"]
         q = np.asarray(p["quant"])
         if p["two_iso"]:
             c0 = q.astype(np.float64) / 1e4
@@ -222,192 +434,79 @@ def run_events(
                   + cmin[:, None]) / 100.0
         # padded events carry NaN score rows (masked lanes); only the
         # real rows matter, and only they may need the f32 fallback
-        n_real = len(chunk)
+        n_real = len(evs)
         with np.errstate(invalid="ignore"):
-            wide = np.flatnonzero(
-                (cmax[:n_real] - cmin[:n_real]) > 65535)
+            wide = np.flatnonzero((cmax[:n_real] - cmin[:n_real]) > 65535)
         for i in wide:  # fetch just those rows at full precision
             loglik[i] = np.asarray(p["ll_full"][int(i)])
         accepted = np.asarray(p["accepted"])
         rejected = np.asarray(p["rejected"])
         final_n = np.asarray(p["final_n"])
         final_psi = np.asarray(p["final_psi"])
-        for j, i in enumerate(chunk):
-            k = events[i].num_iso
+        results = []
+        for j, ev in enumerate(evs):
+            k = ev.num_iso
             fn = final_n[j, 0, :k]  # chain 0
             if cfg.algorithm != "reassign":
                 # final assignment pass for non-REASSIGN algorithms
                 # (miso.c:935-947)
-                fn = events[i].final_assignment_counts(
-                    final_psi[j, 0, :k])
-            out[i] = {
+                fn = ev.final_assignment_counts(final_psi[j, 0, :k])
+            results.append({
                 "samples": flat[j, :, :k],
                 "loglik": loglik[j],
                 "percent_accept": 100.0 * accepted[j]
                     / max(accepted[j] + rejected[j], 1),
                 "final_n": fn,
-            }
-        if bucket_stats is not None:
+            })
+        if self.bucket_stats is not None:
             dt = time.time() - p["t0"]
-            bucket_stats.append({
+            self.bucket_stats.append({
                 "shape": p["shape"],
-                "events": len(chunk), "seconds": dt,
-                "events_per_s": len(chunk) / max(dt, 1e-9),
+                "events": len(evs), "seconds": dt,
+                "events_per_s": len(evs) / max(dt, 1e-9),
                 "backend": p["backend"]})
+        if self.on_chunk is not None:
+            self.on_chunk(p["tags"], results)
+
+
+def run_events(
+    events: List[CompiledEvent],
+    cfg: RunConfig,
+    seed: int = 0,
+    mesh="auto",
+    bucket_stats: Optional[list] = None,
+    on_chunk=None,
+):
+    """Run compiled events through the device sampler, bucketed by shape.
+
+    Batch-list front-end over StreamRunner (production streams events
+    straight from the compile producer; this keeps the simple API for
+    tests/tools).  Events are sharded over all local devices (see
+    `resolve_mesh`); pass mesh=None to force single-device execution, or
+    an explicit jax.sharding.Mesh.
+
+    `on_chunk(indices, results)`, if given, fires as soon as each
+    chunk's results land in the output list -- the caller can start
+    writing files while later chunks are still transferring.
+
+    Returns a list parallel to `events` of per-event result dicts.
+    """
+    out: List[Optional[dict]] = [None] * len(events)
+
+    def _on_chunk(tags, results):
+        for i, res in zip(tags, results):
+            out[i] = res
         if on_chunk is not None:
-            on_chunk(chunk, out)
+            on_chunk(tags, out)
 
-    for (pad_iso, pad_classes, pad_reads), idxs in bucket_events(events):
-        # very deep events: per-class multinomial Gibbs keeps device
-        # memory and per-iteration work O(classes) instead of O(reads)
-        # -- the per-read tensors are never materialized
-        # (docs/DEEP_EVENTS.md)
-        deep = pad_reads > 16384 and cfg.algorithm == "reassign"
-        for lo in range(0, len(idxs), cfg.max_batch_events):
-            t_bucket = time.time()
-            chunk = idxs[lo:lo + cfg.max_batch_events]
-            evs = [events[i] for i in chunk]
-            pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes,
-                             pad_reads=pad_reads, per_read=not deep)
-            batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
-            sampler_cfg = sampler_cfg_base
-            if deep:
-                sampler_cfg = dataclasses.replace(sampler_cfg_base,
-                                                  gibbs="multinomial")
-            # key mixing must include EVERY bucket-shape axis: buckets
-            # differing only in pad_reads would otherwise replay
-            # identical per-(event, chain) random streams, correlating
-            # Monte-Carlo error across the catalog
-            key = jax.random.fold_in(
-                jax.random.fold_in(jax.random.PRNGKey(seed),
-                                   lo + pad_iso * 131071
-                                   + pad_classes * 8191),
-                pad_reads)
-            start_psi = None
-            if cfg.start == "linear":
-                from miso_tpu.core.assignment import linear_start_psi
-                I_pad = batch.weights.shape[2]
-                sp = np.zeros((len(evs), cfg.chains, I_pad), np.float32)
-                for j, ev in enumerate(evs):
-                    try:
-                        expr = linear_start_psi(ev, cfg.read_len,
-                                                cfg.overhang_len)
-                    except Exception:
-                        expr = np.full(ev.num_iso, 1.0 / ev.num_iso)
-                    sp[j, :, :ev.num_iso] = expr[None, :]
-                start_psi = sp
-            backend = cfg.backend
-            if backend == "auto":
-                # measured on v5e at E=2048: fused Pallas kernels beat the
-                # XLA scan on every algorithm (docs/VALIDATION.md)
-                backend = ("pallas" if jax.default_backend() == "tpu"
-                           and (cfg.algorithm in ("marginal", "classes")
-                                or sampler_cfg.gibbs == "perread")
-                           else "xla")
-            if cfg.stop == "convergent":
-                # R-hat <= 1.1 adaptive stopping (miso.c:903-928): only
-                # unconverged events re-run, with extended schedules.
-                # GIVEN-start kernel support keeps continuation rounds on
-                # the fused Pallas path.
-                from miso_tpu.sampler.mcmc import run_batch_convergent
-                conv_res, _ = run_batch_convergent(
-                    key, batch, sampler_cfg, max_iters=cfg.max_iters,
-                    mesh=mesh, start_psi=start_psi, backend=backend)
-                for j, i in enumerate(chunk):
-                    r = conv_res[j]
-                    k = events[i].num_iso
-                    fn = r["final_n"][0, :k]
-                    if cfg.algorithm != "reassign":
-                        # final assignment pass from the END-OF-CHAIN
-                        # psi (chain 0), as in the fixed-stop path
-                        # (miso.c:935-947)
-                        fn = events[i].final_assignment_counts(
-                            r["final_psi"][0, :k])
-                    out[i] = {
-                        "samples": r["samples"][:, :k],
-                        "loglik": r["loglik"],
-                        "percent_accept": 100.0 * r["accepted"]
-                            / max(r["accepted"] + r["rejected"], 1),
-                        "final_n": fn,
-                        "iters": int(r["iters"]),
-                        "burn_in": int(r["burn_in"]),
-                    }
-                if bucket_stats is not None:
-                    dt = time.time() - t_bucket
-                    bucket_stats.append({
-                        "shape": (pad_iso, pad_classes, pad_reads),
-                        "events": len(chunk), "seconds": dt,
-                        "events_per_s": len(chunk) / max(dt, 1e-9),
-                        "stop": "convergent"})
-                if on_chunk is not None:
-                    on_chunk(chunk, out)
-                continue
-            # bounded compile shapes: pad the event axis to a power of
-            # two (full chunks of max_batch_events stay untouched when
-            # it is one) -- arbitrary catalog sizes reuse cached shapes
-            batch, start_psi = _pow2_pad_events(batch, start_psi,
-                                                len(chunk))
-            sp_j = (None if start_psi is None
-                    else jax.numpy.asarray(start_psi))
-            if mesh is not None:
-                from miso_tpu.parallel.mesh import run_batch_sharded
-                res = run_batch_sharded(key, batch, sampler_cfg, mesh=mesh,
-                                        backend=backend,
-                                        start_psi=start_psi)
-            elif (backend == "pallas"
-                  and cfg.algorithm in ("marginal", "classes")):
-                from miso_tpu.sampler.pallas_marginal import (
-                    run_batch_pallas_marginal)
-                res = run_batch_pallas_marginal(key, batch, sampler_cfg,
-                                                start_psi=sp_j)
-            elif (backend == "pallas" and cfg.algorithm == "reassign"
-                  and sampler_cfg.gibbs == "perread"):
-                from miso_tpu.sampler.pallas_kernel import run_batch_pallas
-                res = run_batch_pallas(key, batch, sampler_cfg,
-                                       start_psi=sp_j)
-            else:
-                res = run_batch(key, batch, sampler_cfg,
-                                start_psi=sp_j)
-            # fetch psi quantized to 1e-4 on device: exactly the .miso
-            # output precision ("%.4f"), at a quarter of the bytes --
-            # device->host transfer dominates on remote runtimes.
-            # 2-isoform buckets (the dominant class) fetch ONLY column
-            # 0; psi_2 = 1 - psi_1 reconstructs on the host.  Recorded
-            # log-scores travel as per-event-offset uint16 centipoints
-            # (the ".2f" output precision); rare events whose score
-            # range exceeds the uint16 span fall back to their f32
-            # rows.  Transfers are NOT forced here: pending chunks
-            # materialize after every chunk has been dispatched, so
-            # bucket N's readback overlaps bucket N+1's execution.
-            flat_psi = res.flat_samples()
-            if pad_iso == 2:
-                quant = jnp.round(flat_psi[:, :, 0] * 1e4
-                                  ).astype(jnp.uint16)
-            else:
-                quant = jnp.round(flat_psi * 1e4).astype(jnp.uint16)
-            ll = res.flat_loglik()
-            cents = jnp.round(ll * 100.0)
-            cmin = jnp.min(cents, axis=1)
-            cmax = jnp.max(cents, axis=1)
-            resid = jnp.clip(cents - cmin[:, None], 0, 65535
-                             ).astype(jnp.uint16)
-            pending.append({
-                "chunk": chunk, "quant": quant, "two_iso": pad_iso == 2,
-                "ll_min": cmin, "ll_max": cmax, "ll_resid": resid,
-                "ll_full": ll, "accepted": res.accepted,
-                "rejected": res.rejected, "final_n": res.final_n,
-                "final_psi": res.final_psi, "backend": backend,
-                "t0": t_bucket,
-                "shape": (pad_iso, pad_classes, pad_reads)})
-            # bound device-memory retention: each pending chunk pins its
-            # full-precision loglik (the wide-row fallback source) plus
-            # the quantized buffers in HBM; a few chunks of lookahead is
-            # all the transfer/compute overlap needs
-            while len(pending) > 4:
-                _materialize_chunk(pending.pop(0))
-
-    for p in pending:
-        _materialize_chunk(p)
+    runner = StreamRunner(cfg, seed=seed, mesh=mesh,
+                          bucket_stats=bucket_stats, on_chunk=_on_chunk)
+    # preserve the batch dispatch order (bucket_events groups then sorts
+    # by shape key) so PRNG chunk keys match the pre-streaming pipeline
+    for key, idxs in bucket_events(events):
+        for i in idxs:
+            runner.add(events[i], tag=i)
+    runner.finish()
     return out
 
 
@@ -445,143 +544,102 @@ def write_event_results(
     return sum(map(write_one, todo))
 
 
-def compute_all_genes_psi(
-    index_dir: str,
-    alignments_path: str,
-    read_len: int,
-    output_dir: str,
-    cfg: Optional[RunConfig] = None,
-    settings: Optional[Settings] = None,
-    gene_ids: Optional[List[str]] = None,
-    seed: int = 0,
-    verbose: bool = True,
-    profile_dir: Optional[str] = None,
-) -> int:
-    """The `miso --run` engine.  Returns the number of events written.
+class _CompileStream:
+    """The host compile producer: walks the indexed catalog in
+    per-chromosome-directory groups, loads gene pickles (one batch
+    pickle per chromosome when the index provides it), runs the
+    whole-chromosome columnar scan + ONE native batch match+collapse
+    call per (chromosome, strand) group, and emits CompiledEvents.
 
-    Ref: misopy/miso.py:340-425 + run_miso.py:34-202, collapsed into one
-    process with device-side batch parallelism.
-
-    `profile_dir` wraps device execution in a jax.profiler trace
-    (view with TensorBoard / xprof) and logs per-bucket device time.
+    Falls back per-gene (compile_gene_event) for paired-end data,
+    non-native alignments, genes missing from the batch call, or
+    chromosomes absent from the BAM.
     """
-    from miso_tpu.io.sanity import check_gff_and_bam, setup_logger
 
-    settings = settings or Settings.get()
-    cfg = cfg or RunConfig.from_settings(settings, read_len)
-    setup_logger(output_dir)
-    check_gff_and_bam(index_dir, alignments_path,
-                      given_read_len=cfg.filter_read_len)
+    def __init__(self, items, alignments, cfg: RunConfig, output_dir: str,
+                 verbose: bool, emit):
+        self.items = items
+        self.alignments = alignments
+        self.cfg = cfg
+        self.output_dir = output_dir
+        self.verbose = verbose
+        self.emit = emit
+        self.skipped = 0
 
-    t0 = time.time()
-    id_to_fname = get_gene_ids_to_filenames(index_dir)
-    if gene_ids is not None:
-        id_to_fname = {g: id_to_fname[g] for g in gene_ids if g in id_to_fname}
-    alignments = sam_io.open_alignments(alignments_path)
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+        self.scan_cache: "collections.OrderedDict" = \
+            collections.OrderedDict()
+        self.scan_lock = threading.Lock()
+        self.scan_method = ("scan_chrom_columnar_paired" if cfg.paired_end
+                           else "scan_chrom_columnar")
+        # paired chromosome scans never depend on the target strand
+        # (fr-firststrand only reorders mates), so one scan per
+        # chromosome serves both strands; single-end stranded scans are
+        # per-strand
+        self.strandless = (cfg.paired_end
+                           or cfg.strand_rule in (None, "fr-unstranded"))
+        # 2 workers: the next chromosome's scan runs beside the current
+        # one's tail instead of queueing behind it
+        self.prefetcher = ThreadPoolExecutor(max_workers=2)
+        self.scan_futures: Dict[object, object] = {}
+        self.chrom_next: Dict[str, str] = {}
 
-    # whole-chromosome columnar scans, LRU-bounded (items are sorted by
-    # per-chromosome pickle path, so at most ~2 chromosomes are live).
-    # A one-thread prefetcher scans chromosome k+1 (native decode +
-    # zlib, both GIL-releasing) while chromosome k's genes compile.
-    import collections
-    import threading
-    from concurrent.futures import ThreadPoolExecutor
-    scan_cache: "collections.OrderedDict" = collections.OrderedDict()
-    scan_lock = threading.Lock()
-    scan_method = ("scan_chrom_columnar_paired" if cfg.paired_end
-                   else "scan_chrom_columnar")
-    # paired chromosome scans never depend on the target strand
-    # (fr-firststrand only reorders mates), so one scan per chromosome
-    # serves both strands; single-end stranded scans are per-strand
-    strandless = (cfg.paired_end
-                  or cfg.strand_rule in (None, "fr-unstranded"))
-    # chromosome visit order: gene.chrom of the first gene in each
-    # per-chromosome pickle dir (dir names may carry an added 'chr'
-    # prefix, io/index.py:41, so they cannot key the prefetch)
-    chrom_seq: List[str] = []
-    _seen_dirs: set = set()
-    for _gid, _fn in sorted(id_to_fname.items(), key=lambda kv: kv[1]):
-        _d = os.path.dirname(_fn)
-        if _d in _seen_dirs:
-            continue
-        _seen_dirs.add(_d)
+    # ------------------------------------------------------- chrom scans
+    def _scan_raw(self, chrom, strand):
         try:
-            _g = load_indexed_gene(_fn)[_gid]["gene_object"]
-            if _g.chrom and _g.chrom not in chrom_seq:
-                chrom_seq.append(_g.chrom)
-        except Exception:
-            pass
-    chrom_next = {c: chrom_seq[i + 1]
-                  for i, c in enumerate(chrom_seq[:-1])}
-    prefetcher = ThreadPoolExecutor(max_workers=1)
-    scan_futures: Dict[object, object] = {}
-
-    def _scan_raw(chrom, strand):
-        try:
-            return getattr(alignments, scan_method)(
-                chrom, given_read_len=cfg.filter_read_len,
-                strand_rule=cfg.strand_rule,
-                target_strand=None if strandless else strand)
+            return getattr(self.alignments, self.scan_method)(
+                chrom, given_read_len=self.cfg.filter_read_len,
+                strand_rule=self.cfg.strand_rule,
+                target_strand=None if self.strandless else strand)
         except KeyError:
             return KeyError  # sentinel: chrom absent from the BAM
 
-    def chrom_scan(chrom, strand):
-        if not hasattr(alignments, scan_method):
+    def chrom_scan(self, chrom, strand):
+        if not hasattr(self.alignments, self.scan_method):
             return None
-        key = (chrom, None if strandless else strand)
-        with scan_lock:
-            if key in scan_cache:
-                scan_cache.move_to_end(key)
-                hit = scan_cache[key]
+        key = (chrom, None if self.strandless else strand)
+        with self.scan_lock:
+            if key in self.scan_cache:
+                self.scan_cache.move_to_end(key)
+                hit = self.scan_cache[key]
                 if hit is KeyError:  # cached BAM-absent chromosome
                     raise KeyError(chrom)
                 return hit
-            fut = scan_futures.pop(key, None)
+            fut = self.scan_futures.pop(key, None)
             if fut is None:
-                fut = prefetcher.submit(_scan_raw, chrom, strand)
+                fut = self.prefetcher.submit(self._scan_raw, chrom, strand)
             # prefetch the NEXT chromosome while this one resolves /
             # compiles (strandless keys only: stranded keys are
             # per-gene, so the next gene's strand is unknown here)
-            nxt = chrom_next.get(chrom)
-            if (strandless and nxt is not None
-                    and (nxt, None) not in scan_futures
-                    and (nxt, None) not in scan_cache):
-                scan_futures[(nxt, None)] = prefetcher.submit(
-                    _scan_raw, nxt, None)
+            nxt = self.chrom_next.get(chrom)
+            if (self.strandless and nxt is not None
+                    and (nxt, None) not in self.scan_futures
+                    and (nxt, None) not in self.scan_cache):
+                self.scan_futures[(nxt, None)] = self.prefetcher.submit(
+                    self._scan_raw, nxt, None)
         scan = fut.result()
-        with scan_lock:
-            scan_cache[key] = scan
-            while len(scan_cache) > 4:
-                scan_cache.popitem(last=False)
+        with self.scan_lock:
+            self.scan_cache[key] = scan
+            while len(self.scan_cache) > 4:
+                self.scan_cache.popitem(last=False)
         if scan is KeyError:
             raise KeyError(chrom)
         return scan
 
-    def compile_one(item):
-        gene_id, pickle_fname = item
-        entry = load_indexed_gene(pickle_fname)[gene_id]
-        gene: Gene = entry["gene_object"]
-        # --compress-id indexes name outputs by the hashed ID
-        # (index_gff.py:80-99; summarize/compare map back via
-        # --use-compressed)
-        out_name = entry.get("compressed_id") or gene_id
-        out_path = event_output_path(output_dir, gene, out_name)
-        if os.path.isfile(out_path):
-            if verbose:
-                print("Output filename %s exists, not running MISO."
-                      % out_path)
-            return None
+    # --------------------------------------------------------- per gene
+    def compile_one(self, gene: Gene, out_name: str):
+        """Per-gene fallback: region ingest + compile_gene_event."""
+        cfg = self.cfg
+        alignments = self.alignments
         lo, hi = gene.genomic_span()
         if hasattr(alignments, "fetch_columnar"):
             # columnar ingest: native batch decode (and native qname
             # pairing for paired-end) straight to (positions, cigars),
-            # no per-read Python objects.  Single-end unstranded genes
-            # read from ONE whole-chromosome scan (region fetches become
-            # array slices; see sam.ChromReads) -- at catalog scale the
-            # repeated per-gene block decode dominated host compile.
+            # no per-read Python objects.
             col = None
             try:
-                scan = chrom_scan(gene.chrom, gene.strand)
+                scan = self.chrom_scan(gene.chrom, gene.strand)
                 if scan is not None:
                     col = scan.slice(lo - 1, hi)
                 elif cfg.paired_end:
@@ -608,38 +666,182 @@ def compute_all_genes_psi(
             given_read_len=cfg.filter_read_len)
         return compile_gene_event(gene, out_name, reads, cfg)
 
+    # ------------------------------------------------------------- main
+    def run(self) -> None:
+        items = self.items
+        # group consecutive items by per-chromosome pickle directory
+        groups: List[Tuple[str, list]] = []
+        for gene_id, fname in items:
+            d = os.path.dirname(fname)
+            if not groups or groups[-1][0] != d:
+                groups.append((d, []))
+            groups[-1][1].append((gene_id, fname))
+
+        # chromosome visit order for the prefetcher: resolved lazily as
+        # groups are visited (dir names may carry an added 'chr' prefix,
+        # io/index.py:41, so they cannot key the prefetch); seeded here
+        # from one gene per group so prefetch spans group boundaries
+        chrom_seq: List[str] = []
+        for d, group in groups:
+            gid, fn = group[0]
+            try:
+                # ONE per-gene pickle per group (not the batch pickle:
+                # loading every chromosome's batch upfront would defeat
+                # the chromosome-at-a-time streaming)
+                g = load_indexed_gene(fn)[gid]["gene_object"]
+                if g.chrom and g.chrom not in chrom_seq:
+                    chrom_seq.append(g.chrom)
+            except Exception:
+                pass
+        self.chrom_next = {c: chrom_seq[i + 1]
+                           for i, c in enumerate(chrom_seq[:-1])}
+
+        try:
+            for d, group in groups:
+                self._run_group(d, group)
+        finally:
+            # cancel any unconsumed prefetch (e.g. every output of its
+            # chromosome already existed) so a whole-chromosome scan
+            # does not keep running beside device sampling
+            self.prefetcher.shutdown(wait=False, cancel_futures=True)
+
+    def _entries(self, d: str, group):
+        """(gene_id, entry) pairs for one directory group -- one batch
+        unpickle per chromosome when the index has it (io/index.py),
+        per-gene pickles otherwise."""
+        from miso_tpu.io.index import load_chrom_batch
+        batch = load_chrom_batch(d)
+        out = []
+        for gene_id, fname in group:
+            entry = None
+            if batch is not None:
+                entry = batch.get(gene_id)
+            if entry is None:
+                entry = load_indexed_gene(fname)[gene_id]
+            out.append((gene_id, entry))
+        return out
+
+    def _run_group(self, d: str, group) -> None:
+        cfg = self.cfg
+        # resolve genes + output names; apply the resume skip rule
+        todo: List[Tuple[Gene, str, str]] = []
+        for gene_id, entry in self._entries(d, group):
+            gene: Gene = entry["gene_object"]
+            # --compress-id indexes name outputs by the hashed ID
+            # (index_gff.py:80-99; summarize/compare map back via
+            # --use-compressed)
+            out_name = entry.get("compressed_id") or gene_id
+            out_path = event_output_path(self.output_dir, gene, out_name)
+            if os.path.isfile(out_path):
+                if self.verbose:
+                    print("Output filename %s exists, not running MISO."
+                          % out_path)
+                self.skipped += 1
+                continue
+            todo.append((gene, out_name, gene_id))
+        if not todo:
+            return
+
+        if not cfg.paired_end:
+            # batch path: ONE native match+collapse call per
+            # (chromosome, strand) subgroup against the columnar scan,
+            # driven by the index's precomputed compile tables when
+            # available (zero per-gene Python assembly)
+            from miso_tpu.io.index import load_compile_tables
+            tables = load_compile_tables(d)
+            trow = tables["row"] if tables is not None else {}
+            by_strand: Dict[object, list] = {}
+            rest: List[Tuple[Gene, str]] = []
+            chrom = todo[0][0].chrom
+            for gene, name, gene_id in todo:
+                if gene.chrom != chrom or gene.chrom is None:
+                    rest.append((gene, name, gene_id))
+                else:
+                    skey = None if self.strandless else gene.strand
+                    by_strand.setdefault(skey, []).append(
+                        (gene, name, gene_id))
+            for skey, sub in sorted(by_strand.items(),
+                                    key=lambda kv: str(kv[0])):
+                done = False
+                try:
+                    scan = self.chrom_scan(chrom, skey)
+                except KeyError:
+                    scan = None  # absent from BAM: per-gene fallback
+                if scan is not None:
+                    rows = None
+                    if tables is not None and all(
+                            gid in trow for _, _, gid in sub):
+                        rows = [trow[gid] for _, _, gid in sub]
+                    evs = compile_single_end_many(
+                        [g for g, _, _ in sub], [n for _, n, _ in sub],
+                        scan, read_len=cfg.read_len,
+                        overhang=cfg.overhang_len,
+                        algorithm=cfg.algorithm,
+                        min_event_reads=cfg.min_event_reads,
+                        tables=tables if rows is not None else None,
+                        rows=rows)
+                    if evs is not None:
+                        for ev in evs:
+                            if ev is None:
+                                self.skipped += 1
+                            else:
+                                self.emit(ev)
+                        done = True
+                if not done:
+                    rest.extend(sub)
+            todo = rest
+
+        for gene, name, _gid in todo:
+            ev = self.compile_one(gene, name)
+            if ev is None:
+                self.skipped += 1
+            else:
+                self.emit(ev)
+
+
+def compute_all_genes_psi(
+    index_dir: str,
+    alignments_path: str,
+    read_len: int,
+    output_dir: str,
+    cfg: Optional[RunConfig] = None,
+    settings: Optional[Settings] = None,
+    gene_ids: Optional[List[str]] = None,
+    seed: int = 0,
+    verbose: bool = True,
+    profile_dir: Optional[str] = None,
+) -> int:
+    """The `miso --run` engine.  Returns the number of events written.
+
+    Ref: misopy/miso.py:340-425 + run_miso.py:34-202, collapsed into one
+    process with device-side batch parallelism.  Host event compile runs
+    on a producer thread and overlaps device dispatch, device->host
+    transfer, and .miso writes (the reference's whole-run wall-clock,
+    misopy/miso.py:340-425, is the metric this pipeline shape targets).
+
+    `profile_dir` wraps device execution in a jax.profiler trace
+    (view with TensorBoard / xprof) and logs per-bucket device time.
+    """
+    from miso_tpu.io.sanity import check_gff_and_bam, setup_logger
+
+    settings = settings or Settings.get()
+    cfg = cfg or RunConfig.from_settings(settings, read_len)
+    setup_logger(output_dir)
+    check_gff_and_bam(index_dir, alignments_path,
+                      given_read_len=cfg.filter_read_len)
+
+    t0 = time.time()
+    id_to_fname = get_gene_ids_to_filenames(index_dir)
+    if gene_ids is not None:
+        id_to_fname = {g: id_to_fname[g] for g in gene_ids if g in id_to_fname}
+    alignments = sam_io.open_alignments(alignments_path)
+
     # group by per-chromosome pickle directory so the whole-chromosome
     # scan cache stays small, then by gene id for determinism
     items = sorted(id_to_fname.items(), key=lambda kv: (kv[1], kv[0]))
     if items and getattr(alignments, "references", None):
         # build the region index once before fanning out threads
         list(alignments.fetch(alignments.references[0], 0, 0))
-    # the native matcher releases the GIL inside ctypes calls, so event
-    # compilation threads scale on real catalogs (the reference's
-    # num_processors knob, settings.py:148, repurposed host-side).
-    # With the whole-chromosome scan path the per-gene work is
-    # GIL-bound numpy slicing -- threads only contend there (measured
-    # 2x SLOWER at 10k genes), so single-end native catalogs compile
-    # single-threaded.
-    workers = max(1, (settings.get_num_processors() or 1))
-    if hasattr(alignments, "scan_chrom_columnar"):
-        from miso_tpu import native
-        if native.load() is not None:
-            workers = 1
-    try:
-        if workers > 1 and len(items) > 64:
-            with ThreadPoolExecutor(max_workers=workers) as pool:
-                compiled = list(pool.map(compile_one, items))
-        else:
-            compiled = [compile_one(it) for it in items]
-    finally:
-        # cancel any unconsumed prefetch (e.g. every output of its
-        # chromosome already existed) so a whole-chromosome scan does
-        # not keep running beside device sampling
-        prefetcher.shutdown(wait=False, cancel_futures=True)
-    events: List[CompiledEvent] = [ev for ev in compiled if ev is not None]
-    skipped = len(items) - len(events)
-    t_compile = time.time() - t0
 
     mesh = resolve_mesh("auto")
     if verbose and mesh is not None:
@@ -654,25 +856,60 @@ def compute_all_genes_psi(
     from concurrent.futures import ThreadPoolExecutor
     write_pool = ThreadPoolExecutor(max_workers=4)
     write_futures = []
+    write_lock = threading.Lock()
 
-    def on_chunk(idxs, out):
-        for i in idxs:
-            res = out[i]
-            if res is None:
-                continue
-            write_futures.append(write_pool.submit(
-                _write_event, output_dir, cfg, events[i], res))
+    def on_chunk(evs, results):
+        with write_lock:
+            for ev, res in zip(evs, results):
+                if res is None:
+                    continue
+                write_futures.append(write_pool.submit(
+                    _write_event, output_dir, cfg, ev, res))
+
+    runner = StreamRunner(cfg, seed=seed, mesh=mesh,
+                          bucket_stats=bucket_stats, on_chunk=on_chunk)
+
+    # producer thread: host event compile streams into the runner's
+    # shape buckets through a bounded queue; full buckets dispatch to
+    # the device while later chromosomes are still compiling
+    ev_queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=8192)
+    compile_done = {}
+
+    stream = _CompileStream(items, alignments, cfg, output_dir, verbose,
+                            emit=ev_queue.put)
+
+    def produce():
+        t = time.time()
+        try:
+            stream.run()
+            compile_done["seconds"] = time.time() - t
+        except BaseException as e:
+            compile_done["error"] = e
+        finally:
+            ev_queue.put(None)
+
+    producer = threading.Thread(target=produce, daemon=True)
+
+    def consume():
+        producer.start()
+        while True:
+            ev = ev_queue.get()
+            if ev is None:
+                break
+            runner.add(ev)
+        producer.join()
+        if "error" in compile_done:
+            raise compile_done["error"]
+        runner.finish()
 
     if profile_dir:
         os.makedirs(profile_dir, exist_ok=True)
         with jax.profiler.trace(profile_dir):
-            run_events(events, cfg, seed=seed, mesh=mesh,
-                       bucket_stats=bucket_stats, on_chunk=on_chunk)
+            consume()
         if verbose:
             print("jax.profiler trace written to %s" % profile_dir)
     else:
-        run_events(events, cfg, seed=seed, mesh=mesh,
-                   bucket_stats=bucket_stats, on_chunk=on_chunk)
+        consume()
     written = 0
     for f in write_futures:
         f.result()
@@ -687,8 +924,10 @@ def compute_all_genes_psi(
                   % (bs["shape"] + (bs["events"], bs["seconds"],
                                     bs["events_per_s"])))
         print("Quantified %d events (%d skipped) in %.2fs "
-              "(host compile %.2fs); %.1f events/s (%.1f events/s/chip)"
-              % (written, skipped, dt, t_compile,
+              "(host compile %.2fs, overlapped); %.1f events/s "
+              "(%.1f events/s/chip)"
+              % (written, stream.skipped, dt,
+                 compile_done.get("seconds", float("nan")),
                  written / max(dt, 1e-9),
                  written / max(dt, 1e-9) / n_dev))
     return written
