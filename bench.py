@@ -57,18 +57,17 @@ def build_catalog(num_events, reads_per_event=200, seed=0,
     return batches
 
 
-def main_e2e(num_genes: int) -> None:
+def run_e2e(num_genes: int, verbose: bool = False) -> float:
     """End-to-end benchmark: GFF+BAM catalog -> .miso files, wall-clock.
 
     Measures the full production path (compute_all_genes_psi: indexed
-    annotation load, native BAM ingest, event compile, device sampling,
-    quantized readback, .miso writes) on a simulated catalog -- the
-    number the reference's per-event wall-clock print corresponds to
-    (misopy/miso_sampler.py:373), at catalog scale.  The fixture is
-    cached across runs; pass a different size to regenerate.
+    annotation load, native BAM ingest, streamed event compile
+    overlapping device sampling, quantized readback, .miso writes) on a
+    simulated catalog -- the number the reference's per-event wall-clock
+    print corresponds to (misopy/miso_sampler.py:373), at catalog scale.
+    The fixture is cached across runs.  Returns events/s.
     """
     import shutil
-    import jax
 
     from miso_tpu.pipeline import (RunConfig, compute_all_genes_psi,
                                    enable_compilation_cache)
@@ -86,7 +85,6 @@ def main_e2e(num_genes: int) -> None:
         from miso_tpu.io.index import index_gff
         index_gff(os.path.join(fixdir, "catalog.gff"), idx)
     out = os.path.join(fixdir, "out")
-    shutil.rmtree(out, ignore_errors=True)
     cfg = RunConfig(read_len=36, iters=5000, burn_in=500, lag=10,
                     chains=6, min_event_reads=20)
     # warm run compiles device shapes; timed run measures steady state
@@ -94,14 +92,19 @@ def main_e2e(num_genes: int) -> None:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         written = compute_all_genes_psi(idx, bam, 36, out, cfg=cfg,
-                                        verbose=timed)
+                                        verbose=timed and verbose)
         dt = time.perf_counter() - t0
+    return written / dt
+
+
+def main_e2e(num_genes: int) -> None:
+    eps = run_e2e(num_genes, verbose=True)
     target = 1e4
     print(json.dumps({
         "metric": "events_end_to_end_per_s",
-        "value": round(written / dt, 2),
+        "value": round(eps, 2),
         "unit": "events/s (BAM -> .miso, 5000 iters x 6 chains)",
-        "vs_baseline": round(written / dt / target, 4),
+        "vs_baseline": round(eps / target, 4),
     }))
 
 
@@ -157,12 +160,20 @@ def main():
 
     events_per_s = num_events / dt
     target = 1e4  # BASELINE.json target: events/s/host
-    print(json.dumps({
+    record = {
         "metric": "events_quantified_per_s_per_chip",
         "value": round(events_per_s, 2),
         "unit": "events/s (5000 iters x 6 chains each)",
         "vs_baseline": round(events_per_s / target, 4),
-    }))
+    }
+    # the honest number users experience: full BAM -> .miso wall-clock
+    # on a cached 10k-gene catalog (host ingest + streamed compile +
+    # device sampling + quantized readback + file writes)
+    try:
+        record["e2e_events_per_s"] = round(run_e2e(10000), 2)
+    except Exception as e:  # never let the e2e leg kill the record
+        record["e2e_error"] = "%s: %s" % (type(e).__name__, str(e)[:120])
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

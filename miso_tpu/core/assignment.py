@@ -231,41 +231,67 @@ def paired_assignment_matrix(
                 out[j] = cigar_ids.setdefault(c, len(cigar_ids))
         return out
 
-    rows_l: List[np.ndarray] = []
+    k1_l: List[np.ndarray] = []
+    k2_l: List[np.ndarray] = []
     w_l: List[np.ndarray] = []
     iso_l: List[np.ndarray] = []
     for i in range(noiso):
         L_i = gene.iso_length(i)
-        g1_l, g2_l, p_l = [], [], []
-        for frag_idx in range(il):
-            frag = frag_start + frag_idx
-            if frag > L_i or frag < read_len:
-                continue
-            n_starts = L_i - frag + 1
-            s_arr = np.arange(1, n_starts + 1)
-            g1_l.append(gene.iso_to_genomic(i, s_arr))
-            g2_l.append(gene.iso_to_genomic(i, s_arr + frag - read_len))
-            p_l.append(np.full(n_starts, frag_prob[frag_idx]))
-        if not g1_l:
+        # enumerate EVERY (fragment length, start) pair of this isoform
+        # in one vectorized pass (per-fragment iso_to_genomic calls
+        # recomputed the exon cumsum hundreds of times per isoform)
+        frags = np.arange(frag_start, frag_start + il)
+        sel = (frags >= read_len) & (frags <= L_i)
+        if not sel.any():
             continue
-        g1 = np.concatenate(g1_l)
-        g2 = np.concatenate(g2_l)
-        p = np.concatenate(p_l)
-        gall = np.concatenate([g1, g2])
-        uniq, inv = np.unique(gall, return_inverse=True)
-        cids = cigar_id_map(i, uniq)[inv]
-        c1, c2 = cids[:len(g1)], cids[len(g1):]
+        frags_s = frags[sel]
+        probs_s = frag_prob[sel]
+        n_starts = (L_i - frags_s + 1).astype(np.int64)
+        total = int(n_starts.sum())
+        ofs = np.zeros(len(frags_s) + 1, np.int64)
+        np.cumsum(n_starts, out=ofs[1:])
+        # s1 = 1..n_starts[f] within each fragment block
+        s1 = (np.arange(total) - np.repeat(ofs[:-1], n_starts) + 1)
+        off = np.repeat(frags_s - read_len, n_starts)
+        p = np.repeat(probs_s, n_starts)
+        g1 = gene.iso_to_genomic(i, s1)
+        g2 = gene.iso_to_genomic(i, s1 + off)
+        lo_i, hi_i = gene.iso_genomic_span(i)
+        span = hi_i - lo_i + 1
+        if span <= max(4 * L_i, 1 << 16):
+            # dense span lookup: one local_cigar per genomic position,
+            # O(1) id gathers (the 2x~len(g1) unique+inverse this
+            # replaces argsorted millions of elements per isoform)
+            lut = cigar_id_map(i, np.arange(lo_i, hi_i + 1))
+            c1 = lut[g1 - lo_i]
+            c2 = lut[g2 - lo_i]
+        else:  # huge-intron gene: dedup positions instead
+            gall = np.concatenate([g1, g2])
+            uniq, inv = np.unique(gall, return_inverse=True)
+            cids = cigar_id_map(i, uniq)[inv]
+            c1, c2 = cids[:len(g1)], cids[len(g1):]
         ok = (c1 >= 0) & (c2 >= 0)
-        rows_l.append(np.stack([g1[ok], c1[ok], g2[ok], c2[ok]], axis=1))
+        # pack each mate's (genomic pos, cigar id) into ONE int64 key:
+        # the 4-column np.unique(axis=0) this replaces argsorts a void
+        # view at ~15s per long gene; scalar int64 sorts are ~10x faster
+        k1_l.append(g1[ok] << 20 | c1[ok])
+        k2_l.append(g2[ok] << 20 | c2[ok])
         w_l.append(p[ok])
         iso_l.append(np.full(int(ok.sum()), i, np.int64))
-    if not rows_l:
+    if not k1_l:
         return np.zeros((noiso, 0))
-    rows = np.concatenate(rows_l)
+    if len(cigar_ids) >= (1 << 20):  # key packing bound (never in practice)
+        raise ValueError("too many distinct local cigars")
+    key1 = np.concatenate(k1_l)
+    key2 = np.concatenate(k2_l)
     w = np.concatenate(w_l)
     iso = np.concatenate(iso_l)
-    # per-signature per-isoform fragment-prob sums
-    _, inv = np.unique(rows, axis=0, return_inverse=True)
+    # per-signature per-isoform fragment-prob sums; the signature is
+    # (pos1, cigar1, pos2, cigar2), uniqued in two scalar passes
+    u1, id1 = np.unique(key1, return_inverse=True)
+    u2, id2 = np.unique(key2, return_inverse=True)
+    combined = id1.astype(np.int64) * len(u2) + id2
+    _, inv = np.unique(combined, return_inverse=True)
     sig_vals = np.zeros((inv.max() + 1, noiso))
     np.add.at(sig_vals, (inv, iso), w)
     # collapse by support pattern (assignment.c simplify), columns in

@@ -1502,6 +1502,9 @@ def open_alignments(path: str):
     return SamFile(path)
 
 
+SAM_WARN_BYTES = 256 << 20  # text-SAM size above which we warn
+
+
 class SamFile:
     """SAM text file with the BamReader fetch surface (indexed).
 
@@ -1512,6 +1515,18 @@ class SamFile:
 
     def __init__(self, path: str):
         self.path = path
+        try:
+            if os.path.getsize(path) > SAM_WARN_BYTES:
+                import warnings
+                warnings.warn(
+                    "%s is a %d MB text SAM file: it will be parsed "
+                    "whole-file into memory. Convert to sorted BAM "
+                    "first (`sam_to_bam --convert`) for streamed, "
+                    "indexed ingest." % (path,
+                                         os.path.getsize(path) >> 20),
+                    ResourceWarning, stacklevel=2)
+        except OSError:
+            pass
         self._reads = list(read_sam_text(path))
         self.references = sorted({r.rname for r in self._reads
                                   if r.rname != "*"})

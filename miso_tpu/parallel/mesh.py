@@ -41,14 +41,16 @@ def pad_to_devices(arr: np.ndarray, n: int) -> np.ndarray:
 
 
 def shard_batch(batch: EventBatch, mesh: Mesh) -> EventBatch:
-    """Place a host EventBatch onto the mesh, sharded over events."""
+    """Place a host EventBatch onto the mesh, sharded over events.
+
+    ONE device_put of the whole pytree: per-field puts cost a full
+    host->device round-trip each, seconds of pure latency per batch on
+    remote-tunneled runtimes."""
     n = mesh.devices.size
     sharding = NamedSharding(mesh, P(EVENT_AXIS))
-    arrs = []
-    for name, a in zip(batch._fields, batch):
-        a = pad_to_devices(np.asarray(a), n)
-        arrs.append(jax.device_put(a, sharding))
-    return EventBatch(*arrs)
+    padded = EventBatch(*(pad_to_devices(np.asarray(a), n)
+                          for a in batch))
+    return jax.device_put(padded, sharding)
 
 
 def run_batch_sharded(
@@ -58,6 +60,7 @@ def run_batch_sharded(
     mesh: Optional[Mesh] = None,
     backend: str = "auto",
     start_psi=None,
+    interpret: bool = False,
 ) -> SamplerResult:
     """Run the sampler over a sharded catalog.
 
@@ -96,27 +99,55 @@ def run_batch_sharded(
     else:
         from miso_tpu.sampler.pallas_marginal import (
             run_batch_pallas_marginal as runner)
+    if sp is None:
+        f = _sharded_fn(mesh, cfg, runner, False, interpret)
+        return f(key, sharded)
+    f = _sharded_fn(mesh, cfg, runner, True, interpret)
+    return f(key, sharded, sp)
+
+
+_SHARDED_FN_CACHE: dict = {}
+
+
+def _sharded_fn(mesh: Mesh, cfg: SamplerConfig, runner, has_sp: bool,
+                interpret: bool):
+    """jit(shard_map(kernel)) cached per (mesh, cfg, runner, signature):
+    a fresh shard_map closure per call would RETRACE the whole scanned
+    sampler every batch (~9s of pure tracing on the tunneled runtime vs
+    0.05s executed from jit's cache).
+
+    interpret=True runs the fused kernel in the Pallas interpreter
+    inside shard_map -- the hermetic CPU execution path for this branch
+    (tests/test_shard_map_pallas.py; pair with MISO_PALLAS_NO_PRNG for
+    determinism)."""
+    ckey = (mesh, cfg, runner, has_sp, interpret)
+    f = _SHARDED_FN_CACHE.get(ckey)
+    if f is not None:
+        return f
+    kw = {"interpret": True} if interpret else {}
     ev_spec = EventBatch(*([P(EVENT_AXIS)] * len(EventBatch._fields)))
     out_spec = SamplerResult(*([P(EVENT_AXIS)] * len(SamplerResult._fields)))
 
-    if sp is None:
+    if not has_sp:
         def per_shard(k, b):
             # decorrelate the on-core PRNG streams across shards
             k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
-            return runner(k, b, cfg)
+            return runner(k, b, cfg, **kw)
 
-        f = jax.shard_map(per_shard, mesh=mesh, in_specs=(P(), ev_spec),
-                          out_specs=out_spec, check_vma=False)
-        return f(key, sharded)
+        f = jax.jit(jax.shard_map(
+            per_shard, mesh=mesh, in_specs=(P(), ev_spec),
+            out_specs=out_spec, check_vma=False))
+    else:
+        def per_shard_sp(k, b, s):
+            k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
+            return runner(k, b, cfg, start_psi=s, **kw)
 
-    def per_shard_sp(k, b, s):
-        k = jax.random.fold_in(k, jax.lax.axis_index(EVENT_AXIS))
-        return runner(k, b, cfg, start_psi=s)
-
-    f = jax.shard_map(per_shard_sp, mesh=mesh,
-                      in_specs=(P(), ev_spec, P(EVENT_AXIS)),
-                      out_specs=out_spec, check_vma=False)
-    return f(key, sharded, sp)
+        f = jax.jit(jax.shard_map(
+            per_shard_sp, mesh=mesh,
+            in_specs=(P(), ev_spec, P(EVENT_AXIS)),
+            out_specs=out_spec, check_vma=False))
+    _SHARDED_FN_CACHE[ckey] = f
+    return f
 
 
 def posterior_summary(result: SamplerResult):

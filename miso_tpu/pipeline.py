@@ -149,18 +149,22 @@ def enable_compilation_cache() -> None:
 def resolve_mesh(mesh="auto"):
     """Resolve the event mesh for production runs.
 
-    'auto' -> 1-D mesh over all LOCAL devices when there is more than one
-    (each host quantifies its own gene shard; the event axis has no
-    cross-chip traffic, so the mesh never spans hosts); None on a
-    single-device host.  This replaces the reference's fork-per-batch
-    fan-out (misopy/miso.py:166-169,263 num_processors subprocesses).
+    'auto' -> 1-D mesh over all LOCAL devices (each host quantifies its
+    own gene shard; the event axis has no cross-chip traffic, so the
+    mesh never spans hosts).  This replaces the reference's
+    fork-per-batch fan-out (misopy/miso.py:166-169,263 num_processors
+    subprocesses).  On TPU the mesh is returned even for a single chip,
+    so production always runs the same shard_map path it would run on a
+    multi-chip host (measured at parity with the unsharded dispatch,
+    0.044s vs 0.046s per E=256 batch on v5e); a single CPU device runs
+    unsharded (None).
     """
     if mesh != "auto":
         return mesh
     import jax
 
     devices = jax.local_devices()
-    if len(devices) <= 1:
+    if len(devices) <= 1 and devices[0].platform != "tpu":
         return None
     from miso_tpu.parallel.mesh import make_event_mesh
     return make_event_mesh(devices)

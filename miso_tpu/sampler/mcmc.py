@@ -138,13 +138,21 @@ def _pow2_pad_events(batch: EventBatch, start_psi, n: int):
     return EventBatch(*arrs), start_psi
 
 
-@jax.jit
-def _quantized_outputs(flat_psi, flat_ll):
-    """Posterior fetch payload at .miso output precision: uint16 psi
-    ticks + per-event-offset uint16 score centipoints (see
-    pipeline.run_events for the same scheme on the fixed-stop path)."""
-    quant = jnp.round(flat_psi * 1e4).astype(jnp.uint16)
-    cents = jnp.round(flat_ll * 100.0)
+@functools.partial(jax.jit, static_argnames=("two_iso",))
+def _quantized_rows(flat_psi, flat_ll, idx, two_iso=False):
+    """Posterior fetch payload for SELECTED batch rows at .miso output
+    precision: uint16 psi ticks + per-event-offset uint16 score
+    centipoints (the fixed-stop path's scheme, pipeline.StreamRunner).
+    `idx` is pow2-padded so the gather program compiles once per
+    (batch shape, index bucket) -- each converged event's samples leave
+    the device exactly once, making convergent-mode transfer O(E)
+    instead of O(rounds x E).  two_iso fetches only psi column 0
+    (psi_2 = 1 - psi_1 reconstructs on the host)."""
+    sel_psi = jnp.take(flat_psi, idx, axis=0)
+    if two_iso:
+        sel_psi = sel_psi[:, :, 0]
+    quant = jnp.round(sel_psi * 1e4).astype(jnp.uint16)
+    cents = jnp.round(jnp.take(flat_ll, idx, axis=0) * 100.0)
     cmin = jnp.min(cents, axis=1)
     cmax = jnp.max(cents, axis=1)
     resid = jnp.clip(cents - cmin[:, None], 0, 65535).astype(jnp.uint16)
@@ -223,40 +231,52 @@ def run_batch_convergent(
         next_iters = 3 * cur_cfg.iters - 2 * cur_cfg.burn_in
         if next_iters > max_iters:
             conv = np.ones_like(conv)  # maxIterations cap (miso.c:908)
-        # fetch posteriors quantized to the .miso output precision
-        # (uint16 psi + per-event-offset uint16 score centipoints, as
-        # in pipeline.run_events): halves the bytes of the
-        # full-precision fetch that made convergent mode
-        # transfer-bound on remote runtimes.  The quantization program
-        # is keyed only by the (pow2-padded) batch shape, so it caches
-        # across rounds -- a converged-rows device gather would mint a
-        # new compile shape per round instead.
-        quant, resid, cmin, cmax = _quantized_outputs(
-            res.flat_samples(), res.flat_loglik())
         acc = np.asarray(res.accepted)
         rej = np.asarray(res.rejected)
         fn = np.asarray(res.final_n)
         fpsi = np.asarray(res.final_psi)
-        flat = np.asarray(quant).astype(np.float32) / 1e4
-        cmin_h = np.asarray(cmin).astype(np.float64)
-        cmax_h = np.asarray(cmax).astype(np.float64)
-        ll = (np.asarray(resid).astype(np.float64)
-              + cmin_h[:, None]) / 100.0
-        with np.errstate(invalid="ignore"):
-            wide = np.flatnonzero((cmax_h - cmin_h)[:nr] > 65535)
-        if wide.size:
-            llr = np.asarray(res.flat_loglik())
-            for w in wide:
-                ll[w] = llr[w]
-        for j, e in enumerate(remaining):
-            iters_used[e] = cur_cfg.iters
-            if conv[j]:
+        # fetch ONLY the converged rows' posteriors, quantized to the
+        # .miso output precision, via a pow2-bucketed device gather:
+        # each event's samples cross the device->host link exactly once
+        # (when it converges) instead of every adaptive round -- the
+        # O(rounds x E) re-fetch made convergent mode transfer-bound on
+        # remote runtimes (35s vs 0.18s fixed-stop at E=2048,
+        # docs/VALIDATION.md).  Pow2 index padding bounds the compile
+        # shapes exactly like _pow2_pad_events does for the batch.
+        conv_rows = np.flatnonzero(conv)
+        if conv_rows.size:
+            pad_n = 1 << max(int(np.ceil(np.log2(conv_rows.size))), 0)
+            idx = np.zeros(pad_n, np.int64)
+            idx[:conv_rows.size] = conv_rows
+            two_iso = events.weights.shape[2] == 2
+            quant, resid, cmin, cmax = _quantized_rows(
+                res.flat_samples(), res.flat_loglik(),
+                jnp.asarray(idx), two_iso=two_iso)
+            nsel = conv_rows.size
+            q = np.asarray(quant)[:nsel]
+            if two_iso:
+                c0 = q.astype(np.float64) / 1e4
+                flat = np.stack([c0, 1.0 - c0], axis=-1)
+            else:
+                flat = q.astype(np.float32) / 1e4
+            cmin_h = np.asarray(cmin).astype(np.float64)[:nsel]
+            cmax_h = np.asarray(cmax).astype(np.float64)[:nsel]
+            ll = (np.asarray(resid).astype(np.float64)[:nsel]
+                  + cmin_h[:, None]) / 100.0
+            with np.errstate(invalid="ignore"):
+                wide = np.flatnonzero((cmax_h - cmin_h) > 65535)
+            for w in wide:  # rare: full-precision row fetch
+                ll[w] = np.asarray(res.flat_loglik()[int(conv_rows[w])])
+            for k, j in enumerate(conv_rows):
+                e = remaining[j]
                 results[e] = {
-                    "samples": flat[j], "loglik": ll[j],
+                    "samples": flat[k], "loglik": ll[k],
                     "accepted": acc[j], "rejected": rej[j],
                     "final_n": fn[j], "final_psi": fpsi[j],
                     "iters": cur_cfg.iters, "burn_in": cur_cfg.burn_in,
                 }
+        for j, e in enumerate(remaining):
+            iters_used[e] = cur_cfg.iters
         new_remaining = remaining[~conv]
         if len(new_remaining) == 0:
             break

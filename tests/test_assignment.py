@@ -116,3 +116,57 @@ def test_paired_assignment_and_solve():
 
     c = gene_complexity_paired(g, 30, frag_prob, frag_start)
     assert np.isfinite(c) and c >= 1.0
+
+
+def test_paired_assignment_matrix_matches_brute_force():
+    """Column-level equality of the vectorized paired assignment matrix
+    against a naive Python enumeration of every (isoform, fragment
+    length, start) generation event (assignment.c:381-611 semantics):
+    signatures keyed by (pos1, cigar1, pos2, cigar2), per-isoform
+    fragment-probability sums, support-pattern collapse."""
+    from miso_tpu.core.assignment import paired_assignment_matrix
+    from miso_tpu.core.fragments import normal_fragment
+
+    g = make_gene([60, 25, 40, 50], [[1, 2, 3, 4], [1, 3, 4], [1, 4]])
+    rl = 12
+    frag_prob, frag_start = normal_fragment(40.0, 36.0, 3.0, rl)
+    fp = np.asarray(frag_prob) / np.asarray(frag_prob).sum()
+
+    sig_vals = {}
+    for i in range(g.num_isoforms):
+        starts, ends = g.iso_exons(i)
+        L = g.iso_length(i)
+        for fi, p in enumerate(fp):
+            frag = frag_start + fi
+            if frag < rl or frag > L:
+                continue
+            for s in range(1, L - frag + 2):
+                g1 = int(g.iso_to_genomic(i, np.array([s]))[0])
+                g2 = int(g.iso_to_genomic(
+                    i, np.array([s + frag - rl]))[0])
+                c1 = local_cigar(starts, ends, g1, rl)
+                c2 = local_cigar(starts, ends, g2, rl)
+                if c1 is None or c2 is None:
+                    continue
+                key = (g1, c1, g2, c2)
+                row = sig_vals.setdefault(key,
+                                          [0.0] * g.num_isoforms)
+                row[i] += p
+    collapsed = {}
+    for vals in sig_vals.values():
+        supp = tuple(1 if v > 0 else 0 for v in vals)
+        acc = collapsed.setdefault(supp, [0.0] * g.num_isoforms)
+        for i, v in enumerate(vals):
+            acc[i] += v
+
+    A = paired_assignment_matrix(g, rl, frag_prob, frag_start)
+    ours = {}
+    for c in range(A.shape[1]):
+        supp = tuple((A[:, c] > 0).astype(int))
+        acc = ours.setdefault(supp, [0.0] * g.num_isoforms)
+        for i in range(g.num_isoforms):
+            acc[i] += A[i, c]
+    assert set(ours) == set(collapsed), (set(ours), set(collapsed))
+    for supp in collapsed:
+        np.testing.assert_allclose(ours[supp], collapsed[supp],
+                                   atol=1e-9, err_msg=str(supp))

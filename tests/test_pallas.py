@@ -189,3 +189,28 @@ def test_pallas_marginal_given_start():
     s = np.asarray(res.flat_samples())
     means = s[:, :, 0].mean(axis=1)
     assert np.all(np.abs(means - exact) < 0.03), (means, exact)
+
+
+def test_production_mesh_shard_map_on_chip():
+    """On TPU, resolve_mesh returns a mesh even for one chip, so
+    production `miso --run` executes the SAME shard_map+Pallas branch a
+    multi-chip host would (parallel/mesh.py:run_batch_sharded); the
+    posterior must match the grid-exact oracle."""
+    from exact_posterior import exact_posterior_mean_2iso
+    from miso_tpu.core.events import pad_events
+    from miso_tpu.parallel.mesh import run_batch_sharded
+    from miso_tpu.pipeline import resolve_mesh
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig
+
+    mesh = resolve_mesh("auto")
+    assert mesh is not None, "TPU hosts must always run the mesh path"
+    ev = _compile_demo([0.4, 0.6])
+    exact = exact_posterior_mean_2iso(ev)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev] * 8).items()})
+    cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=4)
+    res = run_batch_sharded(jax.random.PRNGKey(3), batch, cfg,
+                            mesh=mesh, backend="pallas")
+    s = np.asarray(res.flat_samples())[:8]
+    means = s[:, :, 0].mean(axis=1)
+    assert np.all(np.abs(means - exact) < 0.02), (means, exact)

@@ -180,3 +180,132 @@ def test_classes_algorithm_documented_divergence(ref_driver, tmp_path):
     # the reference's latent CLASSES path is measurably broken here
     # (first-class evidence the divergence is theirs, not ours)
     assert abs(ref.samples[:, 0].mean() - 0.6) > 0.15
+
+
+def test_overhang_filter_parity(ref_driver, tmp_path):
+    """Overhang > 1 head-to-head: the first/last-CIGAR-run filter
+    (solve.c:61) changes which junction reads count; both engines must
+    agree on the resulting classes AND the posterior."""
+    from miso_tpu.core.events import compile_single_end
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]], chrom="chrS",
+                  strand="+")
+    rng = np.random.default_rng(12)
+    _, pos, cig = simulate_reads(g, [0.45, 0.55], 400, 25, rng)
+    gff = str(tmp_path / "o.gff")
+    _gene_to_gff(g, "og", gff)
+    for overhang in (2, 4):
+        ref = run_ref_miso(ref_driver, gff, pos, cig, read_len=25,
+                           overhang=overhang, seed=41)
+        ev = compile_single_end(g, np.asarray(pos), list(cig),
+                                read_len=25, overhang=overhang,
+                                name="og")
+        # identical class decomposition under the overhang filter
+        ours_classes = {
+            tuple(int(v) for v in ev.classes.templates[:, c]):
+                int(ev.classes.counts[c])
+            for c in range(ev.classes.num_classes)}
+        assert ours_classes == dict(ref.classes), overhang
+        ours = _run_ours(ev)
+        assert abs(ours[:, 0].mean() - ref.samples[:, 0].mean()) < 0.05, \
+            overhang
+
+
+@pytest.mark.parametrize("num_devs,mean,sd", [(2, 250.0, 15.0),
+                                              (4, 180.0, 30.0)])
+def test_paired_parity_grid(ref_driver, tmp_path, num_devs, mean, sd):
+    """Paired-end head-to-head across the fragment-pmf grid: numDevs
+    truncation (miso_paired.c:241-574 takes it as a parameter) and a
+    second (mean, sd)."""
+    from miso_tpu.core.events import compile_paired_end
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_paired_reads
+
+    g = make_gene([300, 100, 300], [[1, 2, 3], [1, 3]], chrom="chrS",
+                  strand="+")
+    rng = np.random.default_rng(100 + num_devs)
+    _, pos, cig = simulate_paired_reads(g, [0.65, 0.35], 300, 40, mean,
+                                        sd ** 2, rng=rng)
+    gff = str(tmp_path / "pg.gff")
+    _gene_to_gff(g, "pg", gff)
+    ref = run_ref_miso(ref_driver, gff, pos, cig, read_len=40,
+                       paired={"mean": mean, "sd": sd,
+                               "num_devs": num_devs}, seed=53)
+    ev = compile_paired_end(g, np.asarray(pos), list(cig), read_len=40,
+                            mean_frag_len=mean, frag_variance=sd ** 2,
+                            num_sds=float(num_devs), name="pg")
+    ours = _run_ours(ev)
+    assert abs(ours[:, 0].mean() - ref.samples[:, 0].mean()) < 0.05, (
+        num_devs, mean, sd)
+
+
+def test_five_isoform_parity(ref_driver, tmp_path):
+    """Per-isoform posterior means agree on a 5-isoform gene (the
+    deep-isoform end of the real-annotation range)."""
+    from miso_tpu.core.events import compile_single_end
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+
+    g = make_gene([120, 60, 80, 50, 90, 110],
+                  [[1, 2, 3, 4, 5, 6], [1, 3, 4, 6], [1, 2, 4, 5, 6],
+                   [1, 4, 6], [1, 6]], chrom="chrS", strand="+")
+    rng = np.random.default_rng(9)
+    psi = [0.3, 0.25, 0.2, 0.15, 0.1]
+    _, pos, cig = simulate_reads(g, psi, 800, 25, rng)
+    gff = str(tmp_path / "f.gff")
+    _gene_to_gff(g, "fg", gff)
+    ref = run_ref_miso(ref_driver, gff, pos, cig, read_len=25, seed=71)
+    ev = compile_single_end(g, np.asarray(pos), list(cig), read_len=25,
+                            name="fg")
+    ours = _run_ours(ev)
+    for i in range(5):
+        assert abs(ours[:, i].mean() - ref.samples[:, i].mean()) < 0.05, i
+
+
+def test_low_coverage_boundary_parity(ref_driver, tmp_path):
+    """A min_event_reads-boundary event (exactly 20 reads,
+    settings.py:117 default): the wide low-coverage posterior must
+    still match the reference engine's."""
+    from miso_tpu.core.events import compile_single_end
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]], chrom="chrS",
+                  strand="+")
+    rng = np.random.default_rng(15)
+    _, pos, cig = simulate_reads(g, [0.5, 0.5], 20, 25, rng)
+    gff = str(tmp_path / "l.gff")
+    _gene_to_gff(g, "lg", gff)
+    ref = run_ref_miso(ref_driver, gff, pos, cig, read_len=25, seed=83)
+    ev = compile_single_end(g, np.asarray(pos), list(cig), read_len=25,
+                            name="lg")
+    ours = _run_ours(ev)
+    # low coverage -> wide posterior; means still agree (looser MC
+    # tolerance: posterior sd is ~0.1 at 20 reads)
+    assert abs(ours[:, 0].mean() - ref.samples[:, 0].mean()) < 0.07
+
+
+def test_psi_distribution_ks_parity(ref_driver, tmp_path):
+    """Distribution-level assertion beyond means: the two engines'
+    retained Psi samples must agree as DISTRIBUTIONS (two-sample KS
+    statistic; thresholded on D, not p -- MCMC samples are
+    autocorrelated so p-values would be anti-conservative)."""
+    from miso_tpu.core.events import compile_single_end
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from scipy.stats import ks_2samp
+
+    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]], chrom="chrS",
+                  strand="+")
+    rng = np.random.default_rng(21)
+    _, pos, cig = simulate_reads(g, [0.6, 0.4], 400, 25, rng)
+    gff = str(tmp_path / "d.gff")
+    _gene_to_gff(g, "dg", gff)
+    ref = run_ref_miso(ref_driver, gff, pos, cig, read_len=25, seed=91)
+    ev = compile_single_end(g, np.asarray(pos), list(cig), read_len=25,
+                            name="dg")
+    ours = _run_ours(ev)
+    D = ks_2samp(ours[:, 0], ref.samples[:, 0]).statistic
+    assert D < 0.08, D

@@ -352,3 +352,27 @@ def test_format_sample_block_edge_cases():
     assert _format_sample_block(np.zeros((0, 2)), np.zeros(0)) == b""
     got = _format_sample_block(np.array([[1.0, 0.0]]), np.array([-0.0]))
     assert got == b"1.0000,0.0000\t-0.00\n"
+
+
+def test_text_sam_scale_warning(tmp_path, monkeypatch):
+    """Whole-file text-SAM ingest warns above the size threshold
+    (io/sam.py SamFile is deliberately in-memory; the reference
+    converts via sam_to_bam first, sam_to_bam.py:32-60)."""
+    import warnings
+
+    from miso_tpu.io import sam as sam_io
+
+    p = tmp_path / "big.sam"
+    p.write_text("@SQ\tSN:chr1\tLN:1000\n"
+                 "r1\t0\tchr1\t1\t255\t20M\t*\t0\t0\t*\t*\n")
+    monkeypatch.setattr(sam_io, "SAM_WARN_BYTES", 1)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sam_io.SamFile(str(p))
+    assert any("Convert to sorted BAM" in str(x.message) for x in w)
+    # below the threshold: silent
+    monkeypatch.setattr(sam_io, "SAM_WARN_BYTES", 1 << 30)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        sam_io.SamFile(str(p))
+    assert not w
