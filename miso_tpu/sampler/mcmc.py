@@ -118,12 +118,18 @@ class SamplerResult(NamedTuple):
 
 def _pow2_pad_events(batch: EventBatch, start_psi, n: int):
     """Pad a continuation batch's event axis up to the next power of two
-    (zero events: num_iso=0, masked everywhere).  The continuation rounds
-    otherwise present a NEW batch shape every round (the remaining-event
-    count shrinks arbitrarily), and each new shape is a fresh XLA
-    compile -- minutes on remote-compile TPU runtimes.  With bucketing
-    the shapes per (iters, burn_in) schedule are log2(E) at most."""
-    target = 1 << max(int(np.ceil(np.log2(max(n, 1)))), 0)
+    (zero events: num_iso=0, masked everywhere), floored at 64.  The
+    continuation rounds otherwise present a NEW batch shape every round
+    (the remaining-event count shrinks arbitrarily), and each new shape
+    is a fresh XLA compile -- minutes on remote-compile TPU runtimes.
+    With bucketing the shapes per (iters, burn_in) schedule are log2(E)
+    at most; the TPU floor stops near-converged rounds (a handful of
+    events, count varying with the PRNG) from minting 2/4/8/16/32-wide
+    one-off programs -- 64 masked lanes are free next to a remote
+    compile.  (No floor on CPU: the hermetic suite runs tiny batches
+    and 64x masked compute there is NOT free.)"""
+    floor = 64 if jax.default_backend() == "tpu" else 1
+    target = max(1 << max(int(np.ceil(np.log2(max(n, 1)))), 0), floor)
     if target == n:
         return batch, start_psi
     arrs = []
@@ -139,7 +145,7 @@ def _pow2_pad_events(batch: EventBatch, start_psi, n: int):
 
 
 @functools.partial(jax.jit, static_argnames=("two_iso",))
-def _quantized_rows(flat_psi, flat_ll, idx, two_iso=False):
+def _quantized_rows(psi_samples, loglik, idx, two_iso=False):
     """Posterior fetch payload for SELECTED batch rows at .miso output
     precision: uint16 psi ticks + per-event-offset uint16 score
     centipoints (the fixed-stop path's scheme, pipeline.StreamRunner).
@@ -147,7 +153,12 @@ def _quantized_rows(flat_psi, flat_ll, idx, two_iso=False):
     (batch shape, index bucket) -- each converged event's samples leave
     the device exactly once, making convergent-mode transfer O(E)
     instead of O(rounds x E).  two_iso fetches only psi column 0
-    (psi_2 = 1 - psi_1 reconstructs on the host)."""
+    (psi_2 = 1 - psi_1 reconstructs on the host).  Takes the RAW
+    (E, R, K, I) samples and flattens inside the jit: eager reshapes
+    cost a remote-dispatch round-trip each per round."""
+    E, R, K, I = psi_samples.shape
+    flat_psi = psi_samples.reshape(E, R * K, I)
+    flat_ll = loglik.reshape(E, R * K)
     sel_psi = jnp.take(flat_psi, idx, axis=0)
     if two_iso:
         sel_psi = sel_psi[:, :, 0]
@@ -157,6 +168,13 @@ def _quantized_rows(flat_psi, flat_ll, idx, two_iso=False):
     cmax = jnp.max(cents, axis=1)
     resid = jnp.clip(cents - cmin[:, None], 0, 65535).astype(jnp.uint16)
     return quant, resid, cmin, cmax
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def _round_keys(key, n: int):
+    """All adaptive-round PRNG keys in ONE device dispatch (per-round
+    eager fold_in round-trips added seconds on remote runtimes)."""
+    return jnp.stack([jax.random.fold_in(key, i) for i in range(n)])
 
 
 def run_batch_convergent(
@@ -199,13 +217,19 @@ def run_batch_convergent(
     # each event's final chain state
     start_psi = None if start_psi is None else np.asarray(start_psi,
                                                           np.float32)
+    # all round keys in one dispatch (rounds are bounded by the
+    # 3x-growth schedule hitting max_iters; 24 is far beyond it)
+    rkeys = jax.device_get(_round_keys(key, 24))  # host-side: indexing
+    # a device array per round would itself be an eager dispatch
     round_i = 0
     while len(remaining):
         sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
         sp = None if start_psi is None else start_psi[remaining]
         sub, sp = _pow2_pad_events(sub, sp, len(remaining))
-        rkey = jax.random.fold_in(key, round_i)
-        sp_j = None if sp is None else jnp.asarray(sp)
+        rkey = rkeys[min(round_i, 23)]
+        # numpy start_psi rides the jit call (an eager jnp.asarray put
+        # would cost its own remote round-trip per continuation round)
+        sp_j = sp
         if mesh is not None:
             from miso_tpu.parallel.mesh import run_batch_sharded
             res = run_batch_sharded(rkey, sub, cur_cfg, mesh=mesh,
@@ -223,7 +247,13 @@ def run_batch_convergent(
         else:
             res = run_batch(rkey, sub, cur_cfg, start_psi=sp_j)
         nr = len(remaining)
-        rh = np.asarray(batch_rhat(res.psi_samples))[:nr]  # (Esub, I)
+        # ONE transfer for the R-hat matrix and every small per-event
+        # output (per-array np.asarray costs a device round-trip each
+        # on remote runtimes; convergent mode is latency-bound there)
+        rh, acc, rej, fn, fpsi = jax.device_get(
+            (batch_rhat(res.psi_samples), res.accepted, res.rejected,
+             res.final_n, res.final_psi))
+        rh = rh[:nr]  # (Esub, I)
         iso_mask = (np.arange(events.weights.shape[2])[None, :]
                     < np.asarray(sub.num_iso)[:nr, None])
         conv = np.all(np.where(iso_mask, rh <= rhat_threshold, True),
@@ -231,10 +261,6 @@ def run_batch_convergent(
         next_iters = 3 * cur_cfg.iters - 2 * cur_cfg.burn_in
         if next_iters > max_iters:
             conv = np.ones_like(conv)  # maxIterations cap (miso.c:908)
-        acc = np.asarray(res.accepted)
-        rej = np.asarray(res.rejected)
-        fn = np.asarray(res.final_n)
-        fpsi = np.asarray(res.final_psi)
         # fetch ONLY the converged rows' posteriors, quantized to the
         # .miso output precision, via a pow2-bucketed device gather:
         # each event's samples cross the device->host link exactly once
@@ -249,9 +275,10 @@ def run_batch_convergent(
             idx = np.zeros(pad_n, np.int64)
             idx[:conv_rows.size] = conv_rows
             two_iso = events.weights.shape[2] == 2
-            quant, resid, cmin, cmax = _quantized_rows(
-                res.flat_samples(), res.flat_loglik(),
-                jnp.asarray(idx), two_iso=two_iso)
+            # idx passed as numpy: its transfer rides the jit call
+            # instead of a separate device round-trip
+            quant, resid, cmin, cmax = jax.device_get(_quantized_rows(
+                res.psi_samples, res.loglik, idx, two_iso=two_iso))
             nsel = conv_rows.size
             q = np.asarray(quant)[:nsel]
             if two_iso:

@@ -16,6 +16,7 @@ and extension rule.
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -41,8 +42,13 @@ def converged(samples, threshold: float = 1.1) -> bool:
     return bool(np.all(np.asarray(rhat(samples)) <= threshold))
 
 
+@jax.jit
 def batch_rhat(psi_samples) -> jnp.ndarray:
-    """(E, R, K, I) -> (E, I) R-hat per event, on device."""
+    """(E, R, K, I) -> (E, I) R-hat per event, on device.
+
+    Jitted: ONE device dispatch per convergence check -- the eager op
+    chain cost a remote-dispatch round-trip per op on tunneled
+    runtimes, dominating convergent-mode wall clock."""
     x = jnp.asarray(psi_samples)
     R = x.shape[1]
     chain_means = jnp.mean(x, axis=1)
