@@ -193,6 +193,116 @@ def _event_from_classes(
     )
 
 
+def _flat_exon_tables(genes: List[Gene]):
+    """(spans (n,2), exon_starts, exon_ends, exon_idx_flat, eidx_ofs,
+    noiso) built from Gene objects, for catalogs whose index predates
+    the precomputed compile tables."""
+    spans = np.array([g.genomic_span() for g in genes], np.int64
+                     ).reshape(-1, 2)
+    starts_l, ends_l, idx_l, ofs_l = [], [], [], []
+    exon_base = row_base = 0
+    for g in genes:
+        s, e, idx = g.flat_exons()
+        starts_l.append(s)
+        ends_l.append(e)
+        idx_l.append(idx + exon_base)
+        ofs_l.append(row_base)
+        exon_base += len(s)
+        row_base += len(idx)
+    z = np.zeros(0, np.int64)
+    return (spans,
+            np.concatenate(starts_l) if starts_l else z,
+            np.concatenate(ends_l) if ends_l else z,
+            np.concatenate(idx_l) if idx_l else z,
+            np.asarray(ofs_l, np.int64),
+            np.array([g.num_isoforms for g in genes], np.int64))
+
+
+def compile_paired_end_many(
+    genes: List[Gene],
+    names: List[str],
+    scan,
+    read_len: int,
+    mean_frag_len: float,
+    frag_variance: float,
+    num_sds: float = 4.0,
+    overhang: int = 1,
+    min_event_reads: int = 0,
+    tables: Optional[dict] = None,
+    rows: Optional[np.ndarray] = None,
+) -> Optional[List[Optional[CompiledEvent]]]:
+    """Batch-compile every paired-end gene of a chromosome against ONE
+    columnar pair scan (io/sam.ChromPairs) with a single native
+    match+collapse call -- the paired analogue of
+    compile_single_end_many (per-gene slicing decoded per-pair cigar
+    strings and re-encoded them for the matcher).
+
+    Returns a list parallel to `genes` (None = skip rules), or None if
+    the native batch path is unavailable.
+    """
+    from miso_tpu import native
+
+    if overhang == 0:
+        overhang = 1
+    n = len(genes)
+    if n == 0:
+        return []
+    if len(scan.p1) == 0:
+        return None
+    frag_prob, frag_start = normal_fragment(
+        mean_frag_len, frag_variance, num_sds, read_len)
+    frag_prob = np.asarray(frag_prob, dtype=np.float64)
+    frag_prob = frag_prob / frag_prob.sum()
+    if tables is not None and rows is not None:
+        rows = np.asarray(rows, np.int64)
+        spans = tables["span"][rows]
+        eidx_ofs = tables["gidx"][rows]
+        noiso_arr = tables["noiso"][rows]
+        exon_starts = tables["exon_starts"]
+        exon_ends = tables["exon_ends"]
+        exon_idx_flat = tables["exon_idx"]
+    else:
+        (spans, exon_starts, exon_ends, exon_idx_flat, eidx_ofs,
+         noiso_arr) = _flat_exon_tables(genes)
+    los = spans[:, 0] - 1   # 0-based region start
+    his = spans[:, 1]
+    i0 = np.searchsorted(scan.pmin, los - scan.max_span + 1, "left")
+    i1 = np.searchsorted(scan.pmin, his, "left")
+    hit = native.match_classes_paired_multi(
+        i0, i1, los, his, scan.p1, scan.e1, scan.p2, scan.e2,
+        scan.cigar_buf, scan.co1, scan.co2,
+        exon_starts, exon_ends, exon_idx_flat, eidx_ofs, noiso_arr,
+        read_len, overhang, frag_prob, frag_start, pos_offset=1)
+    if hit is None:
+        return None
+    fl_flat, match_flat, counts, class_ofs, npairs = hit
+    n_cls = class_ofs[1:] - class_ofs[:-1]
+    entry_ofs = np.zeros(n + 1, np.int64)
+    np.cumsum(n_cls * noiso_arr, out=entry_ofs[1:])
+    out: List[Optional[CompiledEvent]] = []
+    for g in range(n):
+        gene = genes[g]
+        npr = int(npairs[g])
+        noiso = gene.num_isoforms
+        if noiso < 2 or npr == 0 or npr < min_event_reads:
+            out.append(None)
+            continue
+        c0, c1 = int(class_ofs[g]), int(class_ofs[g + 1])
+        e0, e1_ = int(entry_ofs[g]), int(entry_ofs[g + 1])
+        cg = c1 - c0
+        fl = fl_flat[e0:e1_].reshape(cg, noiso).T        # (I, C)
+        match = match_flat[e0:e1_].reshape(cg, noiso).T  # (I, C)
+        if not match.any():
+            out.append(None)  # no pair compatible with any isoform
+            continue
+        classes = ReadClasses(templates=match, counts=counts[c0:c1],
+                              frag_len=fl)
+        out.append(_paired_event_from_classes(
+            gene, classes, True, npr, read_len, overhang, frag_prob,
+            frag_start, None, names[g]))
+    return out
+
+
 def compile_single_end_many(
     genes: List[Gene],
     names: List[str],
@@ -247,25 +357,8 @@ def compile_single_end_many(
         isolen_all = tables["iso_lengths"][take]
         nox_all = tables["iso_num_exons"][take]
     else:
-        spans = np.array([g.genomic_span() for g in genes], np.int64)
-        starts_l, ends_l, idx_l, ofs_l = [], [], [], []
-        exon_base = row_base = 0
-        for g in genes:
-            s, e, idx = g.flat_exons()
-            starts_l.append(s)
-            ends_l.append(e)
-            idx_l.append(idx + exon_base)
-            ofs_l.append(row_base)
-            exon_base += len(s)
-            row_base += len(idx)
-        exon_starts = (np.concatenate(starts_l) if starts_l
-                       else np.zeros(0, np.int64))
-        exon_ends = (np.concatenate(ends_l) if ends_l
-                     else np.zeros(0, np.int64))
-        exon_idx_flat = (np.concatenate(idx_l) if idx_l
-                         else np.zeros(0, np.int64))
-        eidx_ofs = np.asarray(ofs_l, np.int64)
-        noiso_arr = np.array([g.num_isoforms for g in genes], np.int64)
+        (spans, exon_starts, exon_ends, exon_idx_flat, eidx_ofs,
+         noiso_arr) = _flat_exon_tables(genes)
         iso_ofs = np.zeros(n + 1, np.int64)
         np.cumsum(noiso_arr, out=iso_ofs[1:])
         isolen_all = np.concatenate([g.iso_lengths for g in genes])
@@ -372,7 +465,26 @@ def compile_paired_end(
     match, frag_len = match_iso_paired(
         gene, positions, cigars, read_len, overhang, frag_prob, frag_start)
     classes = collapse_to_classes(match, frag_len)
+    return _paired_event_from_classes(
+        gene, classes, bool((match > 0).any()), len(positions) // 2,
+        read_len, overhang, frag_prob, frag_start, hyper, name)
 
+
+def _paired_event_from_classes(
+    gene: Gene,
+    classes: ReadClasses,
+    any_comp: bool,
+    num_pairs: int,
+    read_len: int,
+    overhang: int,
+    frag_prob: np.ndarray,
+    frag_start: int,
+    hyper: Optional[np.ndarray],
+    name: str,
+) -> CompiledEvent:
+    """Everything in compile_paired_end after read-class collapse."""
+    noiso = gene.num_isoforms
+    il = len(frag_prob)
     isolen = gene.iso_lengths
     nox = gene.iso_num_exons_all
     # lp[j, i] = isolen_i - fragStart - j + 1 - 2*(nox_i-1)*(overhang-1)
@@ -405,12 +517,12 @@ def compile_paired_end(
     if hyper is None:
         hyper = np.ones(noiso)
     return CompiledEvent(
-        name=name, gene=gene, num_iso=noiso, num_reads=len(positions) // 2,
+        name=name, gene=gene, num_iso=noiso, num_reads=num_pairs,
         weights=templates.astype(np.float64), log_read=log_read,
         counts=counts,
         log_iso_w=assscores, hyper=np.asarray(hyper, dtype=np.float64),
         classes=classes, paired=True,
-        any_compatible=bool((match > 0).any()),
+        any_compatible=any_comp,
     )
 
 

@@ -99,6 +99,19 @@ def load() -> Optional[ctypes.CDLL]:
             vp, vp, ctypes.c_int64,               # out mask/count + cap
             vp, vp,                               # class_ofs, nreads
         ]
+        lib.miso_match_classes_paired_multi.restype = ctypes.c_int64
+        lib.miso_match_classes_paired_multi.argtypes = [
+            vp, vp, vp, vp,                       # p1, e1, p2, e2
+            ctypes.c_char_p, vp, vp,              # cigar buf + co1/co2
+            ctypes.c_int64,                       # n_genes
+            vp, vp, vp, vp,                       # pair_lo/hi, span lo/hi
+            vp, vp, vp, vp, vp,                   # exon tables + ofs/noiso
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            vp, ctypes.c_int64, ctypes.c_int64,   # frag_prob/start/il
+            vp, vp, vp,                           # out fl/match/count
+            ctypes.c_int64, ctypes.c_int64,       # caps
+            vp, vp,                               # class_ofs, npairs
+        ]
         lib.miso_genomic_to_iso.restype = None
         lib.miso_genomic_to_iso.argtypes = [
             i64p, i64p, ctypes.c_int64, i64p, ctypes.c_int64, i64p]
@@ -336,6 +349,66 @@ def match_classes_multi(read_lo, read_hi, span_start,
     n_cls = int(class_ofs[n_genes])
     return (out_mask[:n_cls], out_count[:n_cls].astype(np.float64),
             class_ofs, nreads)
+
+
+def match_classes_paired_multi(pair_lo, pair_hi, span_start, span_end,
+                               p1, e1, p2, e2, cigar_buf, co1, co2,
+                               exon_starts, exon_ends, exon_idx_flat,
+                               eidx_ofs, noiso_arr,
+                               read_len: int, overhang: int,
+                               frag_prob, frag_start: int,
+                               pos_offset: int = 1):
+    """Whole-chromosome batch paired match+collapse (ChromPairs arrays).
+
+    Returns (fl_flat int64, match_flat float64, counts float64,
+    class_ofs (n_genes+1,), npairs (n_genes,)) -- gene g's class c is
+    noiso_arr[g] consecutive entries of the flat streams -- or None if
+    the native library is unavailable / noiso > 62.
+    """
+    lib = load()
+    if lib is None:
+        return None
+    n_genes = len(pair_lo)
+    noiso_arr = np.ascontiguousarray(noiso_arr, np.int64)
+    if noiso_arr.size and noiso_arr.max() > 62:
+        return None
+    c = lambda a: np.ascontiguousarray(a, np.int64)  # noqa: E731
+    pair_lo, pair_hi = c(pair_lo), c(pair_hi)
+    span_start, span_end = c(span_start), c(span_end)
+    p1, e1, p2, e2 = c(p1), c(e1), c(p2), c(e2)
+    co1, co2 = c(co1), c(co2)
+    exon_starts, exon_ends = c(exon_starts), c(exon_ends)
+    exon_idx_flat, eidx_ofs = c(exon_idx_flat), c(eidx_ofs)
+    frag_prob = np.ascontiguousarray(frag_prob, np.float64)
+    il = len(frag_prob)
+    tot_pairs = int((pair_hi - pair_lo).sum())
+    cap_classes = tot_pairs + n_genes
+    max_iso = int(noiso_arr.max()) if noiso_arr.size else 1
+    cap_entries = cap_classes * max_iso
+    out_fl = np.empty(cap_entries, np.int64)
+    out_match = np.empty(cap_entries, np.float64)
+    out_count = np.empty(cap_classes, np.int64)
+    class_ofs = np.empty(n_genes + 1, np.int64)
+    npairs = np.empty(n_genes, np.int64)
+    rc = lib.miso_match_classes_paired_multi(
+        p1.ctypes.data, e1.ctypes.data, p2.ctypes.data, e2.ctypes.data,
+        cigar_buf, co1.ctypes.data, co2.ctypes.data, n_genes,
+        pair_lo.ctypes.data, pair_hi.ctypes.data,
+        span_start.ctypes.data, span_end.ctypes.data,
+        exon_starts.ctypes.data, exon_ends.ctypes.data,
+        exon_idx_flat.ctypes.data, eidx_ofs.ctypes.data,
+        noiso_arr.ctypes.data, read_len, overhang, pos_offset,
+        frag_prob.ctypes.data, frag_start, il,
+        out_fl.ctypes.data, out_match.ctypes.data, out_count.ctypes.data,
+        cap_classes, cap_entries, class_ofs.ctypes.data,
+        npairs.ctypes.data)
+    if rc == -1:
+        from miso_tpu.core.cigar import CigarError
+        raise CigarError("Bad CIGAR string in native matcher")
+    if rc != 0:
+        return None
+    return out_fl, out_match, out_count.astype(np.float64), class_ofs, \
+        npairs
 
 
 def pair_qnames(buf, qname_off, qname_len):

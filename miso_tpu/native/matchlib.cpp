@@ -370,6 +370,197 @@ int64_t miso_match_classes_multi(
     return 0;
 }
 
+namespace {
+
+// 1-based genomic -> 1-based isoform coordinate; -1 outside exons.
+// Mirrors miso_genomic_to_iso for one position with precomputed cum.
+int64_t g2i_one(const int64_t* starts, const int64_t* ends,
+                const int64_t* cum, int64_t nex, int64_t p) {
+    int64_t lo = 0, hi = nex;
+    while (lo < hi) {
+        int64_t mid = (lo + hi) / 2;
+        if (starts[mid] <= p) lo = mid + 1; else hi = mid;
+    }
+    int64_t ex = lo - 1;
+    if (ex < 0 || p > ends[ex]) return -1;
+    return cum[ex] + (p - starts[ex]) + 1;
+}
+
+}  // namespace
+
+// Whole-chromosome batch match + class collapse for PAIRED-END events.
+// Pairs come from io/sam.py ChromPairs (pmin-sorted): mate positions
+// p1/p2 + reference ends e1/e2 (0-based) and NUL-terminated cigars at
+// co1/co2 in cigar_buf.  Gene g considers pairs [pair_lo[g], pair_hi[g])
+// passing the region mask (p<end && e>start for BOTH mates) -- exactly
+// ChromPairs.slice.  A pair's class key is its per-isoform fragment
+// length vector (miso_paired.c:576-619 splicing_i_miso_classes1:
+// identical (match, fragLen) columns collapse); fl = isopos(p2) -
+// isopos(p1) + read_len when both mates match the isoform
+// (solve.c:141-218 splicing_matchIso_paired), -1 otherwise; match value
+// = frag_prob[fl - frag_start] when fl is in-support.  Classes are
+// emitted per gene in ascending lexicographic (match..., fl...) order
+// -- byte-identical to core/matching.py collapse_to_classes's
+// np.unique over the concatenated (match; frag_len) columns.
+//
+//   out_fl / out_match: flat streams; gene g's class c occupies noiso_g
+//     consecutive entries (offsets reconstructed host-side from
+//     out_class_ofs and noiso).
+// Returns 0, -1 on bad cigar, -2 on overflow/noiso > 62.
+int64_t miso_match_classes_paired_multi(
+    const int64_t* p1, const int64_t* e1,
+    const int64_t* p2, const int64_t* e2,
+    const char* cigar_buf, const int64_t* co1, const int64_t* co2,
+    int64_t n_genes,
+    const int64_t* pair_lo, const int64_t* pair_hi,
+    const int64_t* span_start, const int64_t* span_end,
+    const int64_t* exon_starts, const int64_t* exon_ends,
+    const int64_t* exon_idx_flat, const int64_t* eidx_ofs,
+    const int64_t* noiso_arr,
+    int64_t read_len, int64_t overhang, int64_t pos_offset,
+    const double* frag_prob, int64_t frag_start, int64_t il,
+    int64_t* out_fl, double* out_match, int64_t* out_count,
+    int64_t cap_classes, int64_t cap_entries,
+    int64_t* out_class_ofs, int64_t* out_npairs) {
+    if (overhang == 0) overhang = 1;
+    std::unordered_map<std::string_view, NumCigar> cigar_cache;
+    std::unordered_map<std::string, int64_t> sig_index;  // pair signature
+    std::vector<std::pair<int64_t, int64_t>> sig_pairs;  // rep pair idx
+    std::vector<int64_t> sig_count;
+    std::unordered_map<std::string, int64_t> key_index;  // fl-vector key
+    std::vector<std::vector<int64_t>> key_fl;
+    std::vector<int64_t> key_count;
+    std::vector<int64_t> order;
+    std::vector<int64_t> cum;  // per-isoform exon cumsum scratch
+    int64_t n_classes = 0, n_entries = 0;
+    out_class_ofs[0] = 0;
+    for (int64_t g = 0; g < n_genes; g++) {
+        int64_t noiso = noiso_arr[g];
+        if (noiso > 62) return -2;
+        const int64_t* eidx = exon_idx_flat + eidx_ofs[g];
+        sig_index.clear();
+        sig_pairs.clear();
+        sig_count.clear();
+        key_index.clear();
+        key_fl.clear();
+        key_count.clear();
+        int64_t considered = 0;
+        int64_t st = span_start[g], en = span_end[g];
+        for (int64_t r = pair_lo[g]; r < pair_hi[g]; r++) {
+            if (!(p1[r] < en && e1[r] > st && p2[r] < en && e2[r] > st))
+                continue;
+            considered++;
+            std::string key = std::to_string(p1[r]);
+            key += '|';
+            key += cigar_buf + co1[r];
+            key += '|';
+            key += std::to_string(p2[r]);
+            key += '|';
+            key += cigar_buf + co2[r];
+            auto it = sig_index.find(key);
+            if (it == sig_index.end()) {
+                sig_index.emplace(std::move(key),
+                                  (int64_t)sig_pairs.size());
+                sig_pairs.emplace_back(r, 0);
+                sig_count.push_back(1);
+            } else {
+                sig_count[it->second]++;
+            }
+        }
+        out_npairs[g] = considered;
+        std::vector<int64_t> fl(noiso);
+        for (size_t s = 0; s < sig_pairs.size(); s++) {
+            int64_t r = sig_pairs[s].first;
+            const char* cig1 = cigar_buf + co1[r];
+            const char* cig2 = cigar_buf + co2[r];
+            const NumCigar* nc[2];
+            bool bad = false;
+            const char* cigs[2] = {cig1, cig2};
+            for (int m = 0; m < 2; m++) {
+                auto it = cigar_cache.find(std::string_view(cigs[m]));
+                if (it == cigar_cache.end()) {
+                    NumCigar c;
+                    if (!parse_cigar(cigs[m], read_len, &c)) return -1;
+                    it = cigar_cache.emplace(std::string_view(cigs[m]),
+                                             std::move(c)).first;
+                }
+                nc[m] = &it->second;
+                if (nc[m]->length < read_len || nc[m]->runs.empty() ||
+                    nc[m]->runs.front() < overhang ||
+                    nc[m]->runs.back() < overhang)
+                    bad = true;
+            }
+            int64_t g1 = p1[r] + pos_offset;
+            int64_t g2 = p2[r] + pos_offset;
+            for (int64_t i = 0; i < noiso; i++) {
+                fl[i] = -1;
+                if (bad) continue;
+                const int64_t* es = exon_starts + eidx[i];
+                const int64_t* ee = exon_ends + eidx[i];
+                int64_t nex = eidx[i + 1] - eidx[i];
+                if (match_one(es, ee, nex, g1, nc[0]->runs) <= 0.0)
+                    continue;
+                if (match_one(es, ee, nex, g2, nc[1]->runs) <= 0.0)
+                    continue;
+                cum.assign(nex + 1, 0);
+                for (int64_t e = 0; e < nex; e++)
+                    cum[e + 1] = cum[e] + (ee[e] - es[e] + 1);
+                int64_t i1 = g2i_one(es, ee, cum.data(), nex, g1);
+                int64_t i2 = g2i_one(es, ee, cum.data(), nex, g2);
+                if (i1 < 0 || i2 < 0) continue;
+                int64_t f = i2 - i1 + read_len;
+                if (f >= frag_start && f < frag_start + il) fl[i] = f;
+            }
+            std::string kb((const char*)fl.data(),
+                           noiso * sizeof(int64_t));
+            auto it = key_index.find(kb);
+            if (it == key_index.end()) {
+                key_index.emplace(std::move(kb),
+                                  (int64_t)key_fl.size());
+                key_fl.push_back(fl);
+                key_count.push_back(sig_count[s]);
+            } else {
+                key_count[it->second] += sig_count[s];
+            }
+        }
+        int64_t nk = (int64_t)key_fl.size();
+        if (n_classes + nk > cap_classes ||
+            n_entries + nk * noiso > cap_entries)
+            return -2;
+        // ascending lexicographic (match values..., fl values...)
+        order.resize(nk);
+        for (int64_t k = 0; k < nk; k++) order[k] = k;
+        auto mval = [&](int64_t k, int64_t i) -> double {
+            int64_t f = key_fl[k][i];
+            return f < 0 ? 0.0 : frag_prob[f - frag_start];
+        };
+        std::sort(order.begin(), order.end(),
+                  [&](int64_t a, int64_t b) {
+            for (int64_t i = 0; i < noiso; i++) {
+                double ma = mval(a, i), mb = mval(b, i);
+                if (ma != mb) return ma < mb;
+            }
+            for (int64_t i = 0; i < noiso; i++) {
+                if (key_fl[a][i] != key_fl[b][i])
+                    return key_fl[a][i] < key_fl[b][i];
+            }
+            return false;
+        });
+        for (int64_t k = 0; k < nk; k++) {
+            int64_t src = order[k];
+            for (int64_t i = 0; i < noiso; i++) {
+                out_fl[n_entries + i] = key_fl[src][i];
+                out_match[n_entries + i] = mval(src, i);
+            }
+            out_count[n_classes] = key_count[src];
+            n_classes++;
+            n_entries += noiso;
+        }
+        out_class_ofs[g + 1] = n_classes;
+    }
+    return 0;
+}
+
 // Genomic -> isoform coordinates for one isoform (gff.c:1041-1160).
 // ipos[j] = -1 when pos falls outside the isoform's exons.
 void miso_genomic_to_iso(

@@ -48,9 +48,16 @@ def shard_batch(batch: EventBatch, mesh: Mesh) -> EventBatch:
     remote-tunneled runtimes."""
     n = mesh.devices.size
     sharding = NamedSharding(mesh, P(EVENT_AXIS))
-    padded = EventBatch(*(pad_to_devices(np.asarray(a), n)
-                          for a in batch))
-    return jax.device_put(padded, sharding)
+
+    def prep(a):
+        # device arrays whose event axis already divides the mesh skip
+        # the host round-trip (np.asarray would fetch them back): the
+        # pipeline's device-expanded per-read tensors take this path
+        if isinstance(a, jax.Array) and a.shape[0] % n == 0:
+            return a
+        return pad_to_devices(np.asarray(a), n)
+
+    return jax.device_put(EventBatch(*(prep(a) for a in batch)), sharding)
 
 
 def run_batch_sharded(

@@ -31,7 +31,8 @@ import numpy as np
 
 from miso_tpu.core.events import (CompiledEvent, bucket_events, _round_up,
                                   _round_up_iso, _round_up_reads,
-                                  compile_paired_end, compile_single_end,
+                                  compile_paired_end, compile_paired_end_many,
+                                  compile_single_end,
                                   compile_single_end_many, pad_events)
 from miso_tpu.core.gene import Gene
 from miso_tpu.io import sam as sam_io
@@ -176,6 +177,43 @@ def _bucket_key(ev: CompiledEvent) -> Tuple[int, int, int]:
             _round_up_reads(max(int(ev.counts.sum()), 1)))
 
 
+def _expand_read_tensors(weights, log_read, counts, R: int):
+    """Device-side expansion of the per-read tensors from the (E, C, I)
+    class tensors: read slot r of event e carries class c's weights,
+    where c is the class whose cumulative count interval contains r
+    (exactly pad_events' np.repeat layout, class 0 first).  Jitted by
+    the caller; uploading the expanded (E, R, I) tensors from the host
+    cost ~10 MB of H2D per chunk vs ~0.3 MB for the class tensors."""
+    import jax.numpy as jnp
+
+    cum = jnp.cumsum(counts, axis=1)                   # (E, C)
+    slots = jnp.arange(R, dtype=counts.dtype)          # (R,)
+    cid = jnp.sum(cum[:, :, None] <= slots[None, None, :],
+                  axis=1)                              # (E, R)
+    valid = slots[None, :] < cum[:, -1:]               # (E, R)
+    C = weights.shape[1]
+    gather = cid[:, :, None].clip(0, C - 1)
+    read_w = jnp.where(
+        valid[:, :, None],
+        jnp.take_along_axis(weights, gather, axis=1), 0.0)
+    read_ls = jnp.where(
+        valid[:, :, None],
+        jnp.take_along_axis(log_read, gather, axis=1), 0.0)
+    return (read_w.astype(jnp.bfloat16), read_ls.astype(jnp.bfloat16))
+
+
+def _expand_jit(weights, log_read, counts, R: int):
+    import jax
+    global _EXPAND_JIT
+    if _EXPAND_JIT is None:
+        _EXPAND_JIT = jax.jit(_expand_read_tensors,
+                              static_argnames=("R",))
+    return _EXPAND_JIT(weights, log_read, counts, R)
+
+
+_EXPAND_JIT = None
+
+
 class StreamRunner:
     """Streaming device dispatcher: events arrive one at a time (from the
     compile producer), accumulate into (pad_iso, pad_classes, pad_reads)
@@ -218,9 +256,13 @@ class StreamRunner:
         self._pending: "queue_mod.Queue" = queue_mod.Queue(
             maxsize=self.MAX_PENDING)
         self._mat_err: list = []
-        self._mat_thread = threading.Thread(
-            target=self._materialize_loop, daemon=True)
-        self._mat_thread.start()
+        # one materializer thread: a second device_get stream was
+        # measured at parity (the tunnel serializes transfers), so keep
+        # the simple ordered pipeline
+        self._mat_threads = [
+            threading.Thread(target=self._materialize_loop, daemon=True)]
+        for t in self._mat_threads:
+            t.start()
 
     # ------------------------------------------------------------ intake
     def add(self, ev: CompiledEvent, tag=None) -> None:
@@ -240,8 +282,10 @@ class StreamRunner:
             if evs:
                 self._dispatch(key, evs, tags)
         self.buckets.clear()
-        self._put(None)
-        self._mat_thread.join()
+        for _ in self._mat_threads:
+            self._put(None)
+        for t in self._mat_threads:
+            t.join()
         self._check_err()
 
     def _put(self, item) -> None:
@@ -252,8 +296,8 @@ class StreamRunner:
                 return
             except queue_mod.Full:
                 self._check_err()
-                if not self._mat_thread.is_alive():
-                    raise RuntimeError("materializer thread died")
+                if not any(t.is_alive() for t in self._mat_threads):
+                    raise RuntimeError("materializer threads died")
 
     def _check_err(self):
         if self._mat_err:
@@ -274,8 +318,13 @@ class StreamRunner:
         # -- the per-read tensors are never materialized
         # (docs/DEEP_EVENTS.md)
         deep = pad_reads > 16384 and cfg.algorithm == "reassign"
+        # fixed-stop: the per-read (E, R, I) tensors are never built on
+        # the host -- pad only the class tensors and expand on device
+        # below.  Convergent mode re-slices the batch per adaptive
+        # round on the host, so it keeps the host-side tensors.
+        per_read_host = cfg.stop == "convergent" and not deep
         pad = pad_events(evs, pad_iso=pad_iso, pad_classes=pad_classes,
-                         pad_reads=pad_reads, per_read=not deep)
+                         pad_reads=pad_reads, per_read=per_read_host)
         batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
         sampler_cfg = self.sampler_cfg_base
         if deep:
@@ -357,6 +406,10 @@ class StreamRunner:
         # (full chunks of max_batch_events stay untouched when it is
         # one) -- arbitrary catalog sizes reuse cached shapes
         batch, start_psi = _pow2_pad_events(batch, start_psi, len(evs))
+        if not deep:
+            rw, rls = _expand_jit(batch.weights, batch.log_read,
+                                  batch.counts, R=pad_reads)
+            batch = batch._replace(read_w=rw, read_logscore=rls)
         sp_j = (None if start_psi is None
                 else jax.numpy.asarray(start_psi))
         if self.mesh is not None:
@@ -424,18 +477,26 @@ class StreamRunner:
                 return
 
     def _materialize_chunk(self, p: dict) -> None:
+        import jax
+
         cfg = self.cfg
         evs = p["evs"]
-        q = np.asarray(p["quant"])
+        # ONE device_get for the whole chunk payload: separate
+        # np.asarray fetches pay per-transfer round-trip overhead each
+        # on remote-tunneled runtimes (the device->host link is the
+        # catalog-scale wall)
+        (q, cmin, cmax, resid, accepted, rejected, final_n,
+         final_psi) = jax.device_get(
+            (p["quant"], p["ll_min"], p["ll_max"], p["ll_resid"],
+             p["accepted"], p["rejected"], p["final_n"], p["final_psi"]))
         if p["two_iso"]:
             c0 = q.astype(np.float64) / 1e4
             flat = np.stack([c0, 1.0 - c0], axis=-1)
         else:
             flat = q.astype(np.float32) / 1e4
-        cmin = np.asarray(p["ll_min"]).astype(np.float64)
-        cmax = np.asarray(p["ll_max"]).astype(np.float64)
-        loglik = (np.asarray(p["ll_resid"]).astype(np.float64)
-                  + cmin[:, None]) / 100.0
+        cmin = cmin.astype(np.float64)
+        cmax = cmax.astype(np.float64)
+        loglik = (resid.astype(np.float64) + cmin[:, None]) / 100.0
         # padded events carry NaN score rows (masked lanes); only the
         # real rows matter, and only they may need the f32 fallback
         n_real = len(evs)
@@ -443,10 +504,6 @@ class StreamRunner:
             wide = np.flatnonzero((cmax[:n_real] - cmin[:n_real]) > 65535)
         for i in wide:  # fetch just those rows at full precision
             loglik[i] = np.asarray(p["ll_full"][int(i)])
-        accepted = np.asarray(p["accepted"])
-        rejected = np.asarray(p["rejected"])
-        final_n = np.asarray(p["final_n"])
-        final_psi = np.asarray(p["final_psi"])
         results = []
         for j, ev in enumerate(evs):
             k = ev.num_iso
@@ -746,7 +803,51 @@ class _CompileStream:
         if not todo:
             return
 
-        if not cfg.paired_end:
+        if cfg.paired_end:
+            # paired batch path: ONE native paired match+collapse call
+            # per chromosome against the columnar pair scan (paired
+            # scans are strandless; fr-firststrand only reorders mates)
+            from miso_tpu.io.index import load_compile_tables
+            tables = load_compile_tables(d)
+            trow = tables["row"] if tables is not None else {}
+            rest: List[Tuple[Gene, str, str]] = []
+            chrom = todo[0][0].chrom
+            sub = []
+            for item in todo:
+                if item[0].chrom != chrom or chrom is None:
+                    rest.append(item)
+                else:
+                    sub.append(item)
+            done = False
+            try:
+                scan = self.chrom_scan(chrom, None)
+            except KeyError:
+                scan = None  # absent from BAM: per-gene fallback
+            if scan is not None and hasattr(scan, "p1"):
+                rows = None
+                if tables is not None and all(
+                        gid in trow for _, _, gid in sub):
+                    rows = [trow[gid] for _, _, gid in sub]
+                evs = compile_paired_end_many(
+                    [g for g, _, _ in sub], [nm for _, nm, _ in sub],
+                    scan, read_len=cfg.read_len,
+                    mean_frag_len=cfg.mean_frag_len,
+                    frag_variance=cfg.frag_variance,
+                    num_sds=cfg.num_sds, overhang=cfg.overhang_len,
+                    min_event_reads=cfg.min_event_reads,
+                    tables=tables if rows is not None else None,
+                    rows=rows)
+                if evs is not None:
+                    for ev in evs:
+                        if ev is None:
+                            self.skipped += 1
+                        else:
+                            self.emit(ev)
+                    done = True
+            if not done:
+                rest.extend(sub)
+            todo = rest
+        else:
             # batch path: ONE native match+collapse call per
             # (chromosome, strand) subgroup against the columnar scan,
             # driven by the index's precomputed compile tables when
