@@ -383,7 +383,6 @@ def compile_single_end_many(
     iso_clean = np.where(np.isfinite(isoscores_all), isoscores_all, 0.0)
     div_all = np.where(efflen_all != 0, efflen_all, 1).astype(np.float64)
     shift_cache: dict = {}
-    ones_cache: dict = {}
     out: List[Optional[CompiledEvent]] = []
     for g in range(n):
         gene = genes[g]
@@ -398,7 +397,6 @@ def compile_single_end_many(
             shifts = np.arange(noiso - 1, -1, -1, dtype=np.uint64
                                )[:, None]
             shift_cache[noiso] = shifts
-            ones_cache[noiso] = np.ones(noiso)
         templates = ((masks[None, c0:c1] >> shifts) & 1
                      ).astype(np.float64)
         classes = ReadClasses(templates=templates, counts=counts[c0:c1])
@@ -409,27 +407,29 @@ def compile_single_end_many(
         if c1 - c0 <= d0:
             out.append(None)  # no read compatible with any isoform
             continue
-        i0, i1 = iso_ofs[g], iso_ofs[g + 1]
+        # o0/o1: this gene's isoform rows (NOT the i0/i1 read-window
+        # bounds defined above -- distinct names to avoid shadowing)
+        o0, o1 = iso_ofs[g], iso_ofs[g + 1]
         if algorithm == "classes":
             out.append(_event_from_classes(
                 gene, classes, True, nr, read_len, overhang, None,
                 names[g], algorithm,
-                scores=(efflen_all[i0:i1], isoscores_all[i0:i1],
-                        log_iso_w_all[i0:i1])))
+                scores=(efflen_all[o0:o1], isoscores_all[o0:o1],
+                        log_iso_w_all[o0:o1])))
             continue
         weights = templates.T[d0:]          # (C_dev, I)
         if algorithm == "marginal":
             # match probabilities / effective length (miso.c:807-815)
-            weights = weights / div_all[i0:i1][None, :]
-            log_read = templates.T[d0:] * iso_clean[i0:i1][None, :]
+            weights = weights / div_all[o0:o1][None, :]
+            log_read = templates.T[d0:] * iso_clean[o0:o1][None, :]
         else:
-            log_read = weights * iso_clean[i0:i1][None, :]
+            log_read = weights * iso_clean[o0:o1][None, :]
         out.append(CompiledEvent(
             name=names[g], gene=gene, num_iso=noiso, num_reads=nr,
             weights=weights, log_read=log_read,
             counts=counts[c0 + d0:c1],
-            log_iso_w=log_iso_w_all[i0:i1],
-            hyper=ones_cache[noiso],
+            log_iso_w=log_iso_w_all[o0:o1],
+            hyper=np.ones(noiso),
             classes=classes, paired=False, any_compatible=True))
     return out
 

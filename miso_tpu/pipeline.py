@@ -288,6 +288,19 @@ class StreamRunner:
             t.join()
         self._check_err()
 
+    def abort(self) -> None:
+        """Error-path shutdown: stop the materializer without flushing
+        buckets (pending chunks drain first; if the device is gone
+        their fetches fail and the thread exits on its own error)."""
+        self.buckets.clear()
+        for _ in self._mat_threads:
+            try:
+                self._pending.put_nowait(None)
+            except queue_mod.Full:
+                break  # thread will hit its own error draining
+        for t in self._mat_threads:
+            t.join(timeout=30)
+
     def _put(self, item) -> None:
         """Bounded put that cannot deadlock if the materializer died."""
         while True:
@@ -618,13 +631,19 @@ class _CompileStream:
     """
 
     def __init__(self, items, alignments, cfg: RunConfig, output_dir: str,
-                 verbose: bool, emit):
+                 verbose: bool, emit, workers: int = 1):
         self.items = items
         self.alignments = alignments
         self.cfg = cfg
         self.output_dir = output_dir
         self.verbose = verbose
         self.emit = emit
+        # the settings num_processors knob (settings.py:148), applied to
+        # the PER-GENE fallback only: the native batch path is faster
+        # single-threaded (one C call per chromosome), but non-native
+        # readers (text SAM, no C++ toolchain) compile per gene and
+        # scale with threads (region fetches release the GIL)
+        self.workers = max(1, workers)
         self.skipped = 0
 
         import collections
@@ -896,6 +915,18 @@ class _CompileStream:
                     rest.extend(sub)
             todo = rest
 
+        if self.workers > 1 and len(todo) > 16:
+            from concurrent.futures import ThreadPoolExecutor
+            with ThreadPoolExecutor(max_workers=self.workers) as pool:
+                # map preserves order, so emitted event order (and with
+                # it PRNG chunk keys) stays deterministic
+                for ev in pool.map(
+                        lambda t: self.compile_one(t[0], t[1]), todo):
+                    if ev is None:
+                        self.skipped += 1
+                    else:
+                        self.emit(ev)
+            return
         for gene, name, _gid in todo:
             ev = self.compile_one(gene, name)
             if ev is None:
@@ -980,8 +1011,15 @@ def compute_all_genes_psi(
     ev_queue: "queue_mod.Queue" = queue_mod.Queue(maxsize=8192)
     compile_done = {}
 
+    # per-gene fallback threading: only useful for non-native readers
+    # (the batch path is one C call per chromosome); see _CompileStream
+    from miso_tpu import native as _native
+    workers = 1
+    if (not hasattr(alignments, "scan_chrom_columnar")
+            or _native.load() is None):
+        workers = settings.get_num_processors() or 1
     stream = _CompileStream(items, alignments, cfg, output_dir, verbose,
-                            emit=ev_queue.put)
+                            emit=ev_queue.put, workers=workers)
 
     def produce():
         t = time.time()
@@ -997,11 +1035,27 @@ def compute_all_genes_psi(
 
     def consume():
         producer.start()
-        while True:
-            ev = ev_queue.get()
-            if ev is None:
-                break
-            runner.add(ev)
+        try:
+            while True:
+                ev = ev_queue.get()
+                if ev is None:
+                    break
+                runner.add(ev)
+        except BaseException:
+            # error-path cleanup: the producer may be blocked on the
+            # bounded queue -- drain it until the thread exits (its
+            # finally cancels the chromosome-scan prefetcher), then
+            # stop the runner's materializer, so a failed run leaks
+            # neither threads nor queued chromosome scans
+            while producer.is_alive():
+                try:
+                    while True:
+                        ev_queue.get_nowait()
+                except queue_mod.Empty:
+                    pass
+                producer.join(timeout=0.2)
+            runner.abort()
+            raise
         producer.join()
         if "error" in compile_done:
             raise compile_done["error"]

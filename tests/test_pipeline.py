@@ -401,3 +401,36 @@ def test_linear_start_cli(workdir, index_dir, bam_file, settings_file):
     data = load_miso_file(files[0])
     assert data.samples.shape[1] == 2
     assert np.all(data.samples >= 0) and np.all(data.samples <= 1)
+
+
+def test_streaming_pipeline_deterministic(tmp_path):
+    """Two identical compute_all_genes_psi runs produce byte-identical
+    .miso trees: the streaming producer/dispatch/materializer threads
+    must not perturb PRNG chunk keys or output content (chunk keys are
+    a pure function of bucket shape + chunk offset)."""
+    import filecmp
+
+    from miso_tpu.io.index import index_gff
+    from miso_tpu.pipeline import RunConfig, compute_all_genes_psi
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "cat"), num_events=120,
+                                reads_per_event=80, read_len=36, seed=3)
+    idx = str(tmp_path / "index")
+    index_gff(fix["gff"], idx)
+    cfg = RunConfig(read_len=36, iters=200, burn_in=50, lag=5, chains=2,
+                    min_event_reads=20)
+    outs = []
+    for rep in range(2):
+        out = str(tmp_path / ("out%d" % rep))
+        n = compute_all_genes_psi(idx, fix["bam"], 36, out, cfg=cfg,
+                                  verbose=False, seed=42)
+        assert n == 120
+        outs.append(out)
+    files0 = sorted(os.path.join(dp, f)
+                    for dp, _, fs in os.walk(outs[0]) for f in fs
+                    if f.endswith(".miso"))
+    assert len(files0) == 120
+    for f0 in files0:
+        f1 = f0.replace(outs[0], outs[1], 1)
+        assert filecmp.cmp(f0, f1, shallow=False), f0
