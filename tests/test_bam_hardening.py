@@ -227,3 +227,43 @@ def test_bgzf_decompression_bomb_rejected(good_bam, tmp_path):
         f.write(raw[bsize:])
     with pytest.raises(ValueError):
         _consume(p)
+
+
+def test_blocks_run_matches_block_at(tmp_path):
+    """The parallel-inflate block-run decoder must yield exactly the
+    byte stream the one-block-at-a-time reader produces, for every
+    starting offset and window size (io/sam.py blocks_run)."""
+    import numpy as np
+
+    from miso_tpu.io.sam import AlignedRead, _BgzfStream, write_bam
+
+    reads = [AlignedRead(qname="r%d" % i, flag=0, rname="chr1",
+                         pos=i * 7, mapq=255, cigar_str="36M", rlen=36)
+             for i in range(5000)]
+    bam = str(tmp_path / "x.bam")
+    write_bam(bam, ["chr1"], [100000], reads)
+
+    ref = _BgzfStream(bam)
+    # serial oracle: full decompressed stream + block boundaries
+    blocks = []
+    c = 0
+    while True:
+        data, nxt = ref.block_at(c)
+        if nxt == c:
+            break
+        blocks.append((c, data))
+        c = nxt
+    whole = b"".join(d for _, d in blocks)
+
+    for max_bytes in (1 << 12, 1 << 16, 1 << 20):
+        s = _BgzfStream(bam)
+        got = []
+        c = 0
+        while True:
+            bl, nxt = s.blocks_run(c, max_bytes)
+            if nxt == c:
+                break
+            got.extend(bl)
+            c = nxt
+        assert b"".join(d for _, d in got) == whole, max_bytes
+        assert [o for o, _ in got] == [o for o, _ in blocks], max_bytes
