@@ -56,8 +56,16 @@ def write_miso_file(
     percent_accept: float,
     final_n: np.ndarray,
     proposal_type: str = "drift",
+    psi_ticks: np.ndarray = None,    # (S, I) int 1e-4 ticks (optional)
+    score_cents: np.ndarray = None,  # (S,) int centipoints (optional)
+    body: bytes = None,              # preformatted sample block (optional)
 ) -> None:
-    """Write one event's `.miso` file (miso_sampler.py:376-466)."""
+    """Write one event's `.miso` file (miso_sampler.py:376-466).
+
+    `psi_ticks`/`score_cents`, when given, are the already-quantized
+    sample values (the pipeline's device fetch payload is quantized to
+    exactly the output precision); the float arrays are then not
+    touched, skipping a full re-quantization pass per event."""
     gene = event.gene
     chrom = gene.chrom if gene.chrom is not None else "NA"
     strand = gene.strand if gene.strand is not None else "NA"
@@ -74,13 +82,34 @@ def write_miso_file(
            percent_accept, proposal_type, event.counts_str(),
            assigned_counts_str(final_n, event.num_iso), chrom, strand,
            mrna_starts, mrna_ends))
-    os.makedirs(os.path.dirname(os.path.abspath(output_file)), exist_ok=True)
-    body = _format_sample_block(np.asarray(psi_samples, np.float64),
-                                np.asarray(log_scores, np.float64))
-    with open(output_file, "wb") as f:
+    d = os.path.dirname(os.path.abspath(output_file))
+    if d not in _made_dirs:  # one makedirs syscall per directory, not per event
+        os.makedirs(d, exist_ok=True)
+        _made_dirs.add(d)
+    # (the open below self-heals if the cached directory was deleted)
+    if body is None:
+        if psi_ticks is not None and score_cents is not None:
+            cents = np.asarray(score_cents, np.int64)
+            body = _format_quantized(np.asarray(psi_ticks, np.int64),
+                                     cents, cents < 0)
+        else:
+            body = _format_sample_block(
+                np.asarray(psi_samples, np.float64),
+                np.asarray(log_scores, np.float64))
+    try:
+        f = open(output_file, "wb")
+    except FileNotFoundError:
+        # the cached directory was removed out from under us (e.g. a
+        # caller rm -rf'd the output tree between runs): recreate it
+        os.makedirs(d, exist_ok=True)
+        f = open(output_file, "wb")
+    with f:
         f.write(header.encode())
         f.write(b"sampled_psi\tlog_score\n")
         f.write(body)
+
+
+_made_dirs: set = set()  # (benign under threads: set.add is atomic)
 
 
 # psi values are written at 1e-4 resolution, so every cell is one of
@@ -94,14 +123,30 @@ _PSI_LUT = np.array([("%.4f" % (i / 1e4)).encode() for i in range(10001)],
 
 def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
     """The sample lines ('psi1,psi2,...\\tlogscore\\n') as one bytes
-    blob, matching '%.4f'/'%.2f' formatting.  Fully vectorized: the psi
-    block is a fixed-width byte matrix, the variable-width score column
-    is assembled right-aligned against each line's end with masked
-    scatters -- no per-sample Python."""
+    blob, matching '%.4f'/'%.2f' formatting (see _format_quantized)."""
     S, I = psi.shape
     if S == 0:
         return b""
     q = np.clip(np.round(psi * 1e4), 0, 10000).astype(np.int64)
+    scores = np.asarray(scores, np.float64)
+    cents = np.round(scores * 100.0).astype(np.int64)
+    # sign from the VALUE, not the rounded cents: '%.2f' % -0.004 is
+    # '-0.00' (signbit also covers a literal -0.0)
+    return _format_quantized(q, cents, np.signbit(scores))
+
+
+def _format_quantized(q: np.ndarray, cents: np.ndarray,
+                      neg: np.ndarray, return_offsets: bool = False):
+    """Sample lines from ALREADY-QUANTIZED values: q (S, I) psi ticks
+    (1e-4), cents (S,) score centipoints, neg (S,) sign flags.  The
+    catalog pipeline feeds the device's quantized fetch payload straight
+    through here -- no float64 materialization or re-quantization pass.
+    Fully vectorized: the psi block is a fixed-width byte matrix, the
+    variable-width score column is assembled right-aligned against each
+    line's end with masked scatters -- no per-sample Python."""
+    S, I = q.shape
+    if S == 0:
+        return (b"", np.zeros(1, np.int64)) if return_offsets else b""
     pc = _PSI_LUT[q]                      # (S, I) 'S6'
     W = 6 * I + (I - 1)
     M = np.empty((S, W + 1), dtype="S1")
@@ -116,11 +161,6 @@ def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
     M[:, W] = b"\t"
     blk = M.view(np.uint8).reshape(S, W + 1)
 
-    scores = np.asarray(scores, np.float64)
-    cents = np.round(scores * 100.0).astype(np.int64)
-    # sign from the VALUE, not the rounded cents: '%.2f' % -0.004 is
-    # '-0.00' (signbit also covers a literal -0.0)
-    neg = np.signbit(scores)
     a = np.abs(cents)
     ip = a // 100
     frac = a % 100
@@ -151,6 +191,8 @@ def _format_sample_block(psi: np.ndarray, scores: np.ndarray) -> bytes:
     m = neg
     if m.any():
         out[end[m] - 5 - nd[m]] = 0x2D    # '-'
+    if return_offsets:
+        return out.tobytes(), off
     return out.tobytes()
 
 

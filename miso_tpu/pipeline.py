@@ -177,6 +177,31 @@ def _bucket_key(ev: CompiledEvent) -> Tuple[int, int, int]:
             _round_up_reads(max(int(ev.counts.sum()), 1)))
 
 
+class _LazyResult(dict):
+    """Per-event result dict whose float 'samples'/'loglik' arrays
+    materialize on first access from the quantized device payload.
+    The streamed .miso writer consumes 'psi_ticks'/'score_cents'
+    directly (they ARE the output precision), so catalog runs never
+    build the float arrays at all; run_events consumers still see the
+    float API unchanged."""
+
+    def __missing__(self, key):
+        if key == "samples":
+            t = self["psi_ticks"]          # (S, I) uint16
+            if t.shape[1] == 2:
+                c0 = t[:, 0].astype(np.float64) / 1e4
+                v = np.stack([c0, 1.0 - c0], axis=-1)
+            else:
+                v = t.astype(np.float32) / 1e4
+            self[key] = v
+            return v
+        if key == "loglik":
+            v = self["score_cents"].astype(np.float64) / 100.0
+            self[key] = v
+            return v
+        raise KeyError(key)
+
+
 def _expand_read_tensors(weights, log_read, counts, R: int):
     """Device-side expansion of the per-read tensors from the (E, C, I)
     class tensors: read slot r of event e carries class c's weights,
@@ -502,21 +527,28 @@ class StreamRunner:
          final_psi) = jax.device_get(
             (p["quant"], p["ll_min"], p["ll_max"], p["ll_resid"],
              p["accepted"], p["rejected"], p["final_n"], p["final_psi"]))
+        # keep everything QUANTIZED: the ticks/centipoints ARE the .miso
+        # output precision, so the writer formats them directly and the
+        # float arrays (2 x ~90 MB of float64 per 4096-event chunk) are
+        # only materialized lazily if an API consumer asks (_LazyResult)
         if p["two_iso"]:
-            c0 = q.astype(np.float64) / 1e4
-            flat = np.stack([c0, 1.0 - c0], axis=-1)
+            ticks = np.empty(q.shape + (2,), np.uint16)
+            ticks[:, :, 0] = q
+            ticks[:, :, 1] = 10000 - q
         else:
-            flat = q.astype(np.float32) / 1e4
-        cmin = cmin.astype(np.float64)
-        cmax = cmax.astype(np.float64)
-        loglik = (resid.astype(np.float64) + cmin[:, None]) / 100.0
+            ticks = q
+        with np.errstate(invalid="ignore"):
+            # padded events carry NaN score rows; their cmin casts to a
+            # garbage int that no real event ever reads
+            cmin_i = np.round(np.nan_to_num(cmin.astype(np.float64))
+                              ).astype(np.int64)
+        cmax_f = cmax.astype(np.float64)
         # padded events carry NaN score rows (masked lanes); only the
         # real rows matter, and only they may need the f32 fallback
         n_real = len(evs)
         with np.errstate(invalid="ignore"):
-            wide = np.flatnonzero((cmax[:n_real] - cmin[:n_real]) > 65535)
-        for i in wide:  # fetch just those rows at full precision
-            loglik[i] = np.asarray(p["ll_full"][int(i)])
+            wide = set(np.flatnonzero(
+                (cmax_f[:n_real] - cmin[:n_real]) > 65535).tolist())
         results = []
         for j, ev in enumerate(evs):
             k = ev.num_iso
@@ -525,13 +557,18 @@ class StreamRunner:
                 # final assignment pass for non-REASSIGN algorithms
                 # (miso.c:935-947)
                 fn = ev.final_assignment_counts(final_psi[j, 0, :k])
-            results.append({
-                "samples": flat[j, :, :k],
-                "loglik": loglik[j],
+            res = _LazyResult({
+                "psi_ticks": ticks[j, :, :k],
                 "percent_accept": 100.0 * accepted[j]
                     / max(accepted[j] + rejected[j], 1),
                 "final_n": fn,
             })
+            if j in wide:  # rare: full-precision row fetch
+                res["loglik"] = np.asarray(p["ll_full"][int(j)])
+            else:
+                res["score_cents"] = (resid[j].astype(np.int64)
+                                      + cmin_i[j])
+            results.append(res)
         if self.bucket_stats is not None:
             dt = time.time() - p["t0"]
             self.bucket_stats.append({
@@ -590,12 +627,67 @@ def _write_event(output_dir: str, cfg: RunConfig, ev: CompiledEvent,
     writer below and the streamed on_chunk path in
     compute_all_genes_psi -- one place to change the output contract)."""
     path = event_output_path(output_dir, ev.gene, ev.name)
+    ticks = res.get("psi_ticks")
+    cents = res.get("score_cents")
+    if ticks is not None and cents is not None:
+        # quantized fast path: the device payload IS the file precision
+        write_miso_file(
+            path, ev, None, None,
+            iters=res.get("iters", cfg.iters),
+            burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
+            percent_accept=res["percent_accept"], final_n=res["final_n"],
+            psi_ticks=ticks, score_cents=cents)
+        return
     write_miso_file(
         path, ev, res["samples"], res["loglik"],
         # convergent stopping records the per-event final schedule
         iters=res.get("iters", cfg.iters),
         burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
         percent_accept=res["percent_accept"], final_n=res["final_n"])
+
+
+def _write_events_batch(output_dir: str, cfg: RunConfig, evs, results
+                        ) -> int:
+    """Write a slice of a chunk's events, batch-formatting the sample
+    bodies: ONE _format_quantized call covers every same-isoform-count
+    event in the slice (per-event numpy formatting overhead -- ~20 small
+    array ops each -- dominated the write phase at catalog scale).
+    Events without the quantized payload (convergent results, wide-score
+    fallbacks) write through the per-event path."""
+    from miso_tpu.io.miso_file import _format_quantized
+
+    groups: Dict[Tuple[int, int], list] = {}
+    rest = []
+    for ev, res in zip(evs, results):
+        if res is None:
+            continue
+        t = res.get("psi_ticks")
+        c = res.get("score_cents")
+        if t is not None and c is not None:
+            groups.setdefault((t.shape[1], t.shape[0]), []).append(
+                (ev, res))
+        else:
+            rest.append((ev, res))
+    written = 0
+    for (k, S), items in groups.items():
+        T = np.stack([r["psi_ticks"] for _, r in items]
+                     ).astype(np.int64).reshape(-1, k)
+        C = np.stack([r["score_cents"] for _, r in items]).reshape(-1)
+        blob, off = _format_quantized(T, C, C < 0, return_offsets=True)
+        for j, (ev, res) in enumerate(items):
+            write_miso_file(
+                event_output_path(output_dir, ev.gene, ev.name),
+                ev, None, None,
+                iters=res.get("iters", cfg.iters),
+                burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
+                percent_accept=res["percent_accept"],
+                final_n=res["final_n"],
+                body=blob[off[j * S]:off[(j + 1) * S]])
+            written += 1
+    for ev, res in rest:
+        _write_event(output_dir, cfg, ev, res)
+        written += 1
+    return written
 
 
 def write_event_results(
@@ -995,12 +1087,13 @@ def compute_all_genes_psi(
     write_lock = threading.Lock()
 
     def on_chunk(evs, results):
+        # slices of ~512 events per pool task: each batch-formats its
+        # sample bodies in one vectorized pass (see _write_events_batch)
         with write_lock:
-            for ev, res in zip(evs, results):
-                if res is None:
-                    continue
+            for lo in range(0, len(evs), 512):
                 write_futures.append(write_pool.submit(
-                    _write_event, output_dir, cfg, ev, res))
+                    _write_events_batch, output_dir, cfg,
+                    evs[lo:lo + 512], results[lo:lo + 512]))
 
     runner = StreamRunner(cfg, seed=seed, mesh=mesh,
                           bucket_stats=bucket_stats, on_chunk=on_chunk)
@@ -1071,8 +1164,7 @@ def compute_all_genes_psi(
         consume()
     written = 0
     for f in write_futures:
-        f.result()
-        written += 1
+        written += f.result()
     write_pool.shutdown()
     if verbose:
         dt = time.time() - t0
