@@ -314,15 +314,24 @@ class StreamRunner:
         self._check_err()
 
     def abort(self) -> None:
-        """Error-path shutdown: stop the materializer without flushing
-        buckets (pending chunks drain first; if the device is gone
-        their fetches fail and the thread exits on its own error)."""
+        """Error-path shutdown: discard queued chunks and stop the
+        materializer without flushing buckets.  Draining first
+        guarantees the shutdown sentinel always fits in the bounded
+        queue (a full queue previously dropped it, leaving the thread
+        blocked on get() forever when the device was still healthy)."""
         self.buckets.clear()
+        try:
+            while True:
+                self._pending.get_nowait()
+        except queue_mod.Empty:
+            pass
+        # only the dispatch thread (this one) refills the queue, so the
+        # sentinels fit now
         for _ in self._mat_threads:
             try:
-                self._pending.put_nowait(None)
+                self._pending.put(None, timeout=5)
             except queue_mod.Full:
-                break  # thread will hit its own error draining
+                pass
         for t in self._mat_threads:
             t.join(timeout=30)
 
@@ -622,28 +631,28 @@ def run_events(
 
 
 def _write_event(output_dir: str, cfg: RunConfig, ev: CompiledEvent,
-                 res: dict) -> None:
-    """The single shared per-event .miso writer (used by both the batch
-    writer below and the streamed on_chunk path in
-    compute_all_genes_psi -- one place to change the output contract)."""
+                 res: dict, body: bytes = None) -> None:
+    """The single shared per-event .miso writer (every writing path --
+    batch writer, streamed chunks, write_event_results -- routes here:
+    ONE place to change the output contract).  Sample data resolves in
+    preference order: a preformatted `body` (the batch formatter),
+    the quantized device payload (psi_ticks/score_cents), then the
+    float arrays (convergent results, wide-score fallbacks)."""
     path = event_output_path(output_dir, ev.gene, ev.name)
-    ticks = res.get("psi_ticks")
-    cents = res.get("score_cents")
-    if ticks is not None and cents is not None:
-        # quantized fast path: the device payload IS the file precision
-        write_miso_file(
-            path, ev, None, None,
-            iters=res.get("iters", cfg.iters),
-            burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
-            percent_accept=res["percent_accept"], final_n=res["final_n"],
-            psi_ticks=ticks, score_cents=cents)
-        return
+    samples = loglik = ticks = cents = None
+    if body is None:
+        ticks = res.get("psi_ticks")
+        cents = res.get("score_cents")
+        if ticks is None or cents is None:
+            ticks = cents = None
+            samples, loglik = res["samples"], res["loglik"]
     write_miso_file(
-        path, ev, res["samples"], res["loglik"],
+        path, ev, samples, loglik,
         # convergent stopping records the per-event final schedule
         iters=res.get("iters", cfg.iters),
         burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
-        percent_accept=res["percent_accept"], final_n=res["final_n"])
+        percent_accept=res["percent_accept"], final_n=res["final_n"],
+        psi_ticks=ticks, score_cents=cents, body=body)
 
 
 def _write_events_batch(output_dir: str, cfg: RunConfig, evs, results
@@ -675,14 +684,8 @@ def _write_events_batch(output_dir: str, cfg: RunConfig, evs, results
         C = np.stack([r["score_cents"] for _, r in items]).reshape(-1)
         blob, off = _format_quantized(T, C, C < 0, return_offsets=True)
         for j, (ev, res) in enumerate(items):
-            write_miso_file(
-                event_output_path(output_dir, ev.gene, ev.name),
-                ev, None, None,
-                iters=res.get("iters", cfg.iters),
-                burn_in=res.get("burn_in", cfg.burn_in), lag=cfg.lag,
-                percent_accept=res["percent_accept"],
-                final_n=res["final_n"],
-                body=blob[off[j * S]:off[(j + 1) * S]])
+            _write_event(output_dir, cfg, ev, res,
+                         body=blob[off[j * S]:off[(j + 1) * S]])
             written += 1
     for ev, res in rest:
         _write_event(output_dir, cfg, ev, res)
@@ -737,6 +740,10 @@ class _CompileStream:
         # scale with threads (region fetches release the GIL)
         self.workers = max(1, workers)
         self.skipped = 0
+        # set by the consumer on its error path: the producer stops at
+        # the next gene/subgroup instead of compiling the rest of the
+        # catalog into a drain loop
+        self.stop = False
 
         import collections
         from concurrent.futures import ThreadPoolExecutor
@@ -870,6 +877,8 @@ class _CompileStream:
 
         try:
             for d, group in groups:
+                if self.stop:
+                    break
                 self._run_group(d, group)
         finally:
             # cancel any unconsumed prefetch (e.g. every output of its
@@ -1010,16 +1019,28 @@ class _CompileStream:
         if self.workers > 1 and len(todo) > 16:
             from concurrent.futures import ThreadPoolExecutor
             with ThreadPoolExecutor(max_workers=self.workers) as pool:
-                # map preserves order, so emitted event order (and with
-                # it PRNG chunk keys) stays deterministic
-                for ev in pool.map(
-                        lambda t: self.compile_one(t[0], t[1]), todo):
-                    if ev is None:
-                        self.skipped += 1
-                    else:
-                        self.emit(ev)
+                # bounded windows, not one map over the whole group:
+                # Executor.map submits everything eagerly, so a whole
+                # chromosome's CompiledEvents would buffer in futures
+                # and defeat the consumer queue's backpressure.  map
+                # preserves order within each window, so emitted event
+                # order (and with it PRNG chunk keys) stays
+                # deterministic.
+                window = self.workers * 8
+                for lo in range(0, len(todo), window):
+                    if self.stop:
+                        return
+                    for ev in pool.map(
+                            lambda t: self.compile_one(t[0], t[1]),
+                            todo[lo:lo + window]):
+                        if ev is None:
+                            self.skipped += 1
+                        else:
+                            self.emit(ev)
             return
         for gene, name, _gid in todo:
+            if self.stop:
+                return
             ev = self.compile_one(gene, name)
             if ev is None:
                 self.skipped += 1
@@ -1135,11 +1156,13 @@ def compute_all_genes_psi(
                     break
                 runner.add(ev)
         except BaseException:
-            # error-path cleanup: the producer may be blocked on the
-            # bounded queue -- drain it until the thread exits (its
-            # finally cancels the chromosome-scan prefetcher), then
-            # stop the runner's materializer, so a failed run leaks
-            # neither threads nor queued chromosome scans
+            # error-path cleanup: signal the producer to stop at its
+            # next gene and drain the bounded queue until the thread
+            # exits (its finally cancels the chromosome-scan
+            # prefetcher), then stop the runner's materializer -- a
+            # failed run leaks neither threads nor queued scans, and a
+            # Ctrl-C does not wait out the rest of the host compile
+            stream.stop = True
             while producer.is_alive():
                 try:
                     while True:
@@ -1151,6 +1174,9 @@ def compute_all_genes_psi(
             raise
         producer.join()
         if "error" in compile_done:
+            # the COMPILE failed: shut the runner down without flushing
+            # partial buckets (resume re-runs the missing events)
+            runner.abort()
             raise compile_done["error"]
         runner.finish()
 
