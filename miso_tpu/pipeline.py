@@ -1107,6 +1107,8 @@ def compute_all_genes_psi(
     write_futures = []
     write_lock = threading.Lock()
 
+    progress = {"done": 0, "t_last": t0}
+
     def on_chunk(evs, results):
         # slices of ~512 events per pool task: each batch-formats its
         # sample bodies in one vectorized pass (see _write_events_batch)
@@ -1115,6 +1117,16 @@ def compute_all_genes_psi(
                 write_futures.append(write_pool.submit(
                     _write_events_batch, output_dir, cfg,
                     evs[lo:lo + 512], results[lo:lo + 512]))
+            progress["done"] += len(evs)
+            now = time.time()
+            if verbose and now - progress["t_last"] > 15:
+                # periodic progress (the reference prints per-event
+                # wall-clock, miso_sampler.py:373; at batch scale a
+                # heartbeat is the usable equivalent)
+                progress["t_last"] = now
+                print("  ... %d/%d events through the device (%.0f "
+                      "events/s)" % (progress["done"], len(items),
+                                     progress["done"] / (now - t0)))
 
     runner = StreamRunner(cfg, seed=seed, mesh=mesh,
                           bucket_stats=bucket_stats, on_chunk=on_chunk)
