@@ -88,6 +88,68 @@ def simulate_catalog_bam(
     write_bam(bam_path, chroms, lengths, reads)
 
 
+def simulate_catalog_bam_paired(
+    genes: List[Gene],
+    true_psi: np.ndarray,
+    pairs_per_event: int,
+    read_len: int,
+    mean_frag_len: float,
+    sd_frag_len: float,
+    bam_path: str,
+    rng: np.random.Generator,
+) -> None:
+    """Simulate proper mate pairs for every gene (FR orientation flags,
+    as the pairing QC requires, misopy/sam_utils.py:210-289) and write
+    one coordinate-sorted BAM."""
+    from miso_tpu.core.simulate import simulate_paired_reads
+
+    reads: List[AlignedRead] = []
+    for e, gene in enumerate(genes):
+        psi = [float(true_psi[e]), 1.0 - float(true_psi[e])]
+        _, pos, cig = simulate_paired_reads(
+            gene, psi, pairs_per_event, read_len, mean_frag_len,
+            sd_frag_len ** 2, rng=rng)
+        for r in range(len(pos)):
+            flag = 0x1 | 0x2 | (0x40 | 0x20 if r % 2 == 0
+                                else 0x80 | 0x10)
+            reads.append(AlignedRead(
+                qname="sim_%d_%d" % (e, r // 2), flag=flag,
+                rname=gene.chrom, pos=int(pos[r]) - 1, mapq=255,
+                cigar_str=cig[r], rlen=read_len))
+    chroms = sorted({g.chrom for g in genes})
+    order = {c: i for i, c in enumerate(chroms)}
+    reads.sort(key=lambda r: (order[r.rname], r.pos))
+    lengths = [max(g.genomic_span()[1] for g in genes if g.chrom == c)
+               + 1000 for c in chroms]
+    write_bam(bam_path, chroms, lengths, reads)
+
+
+def build_paired_catalog_fixture(
+    out_dir: str,
+    num_events: int = 2000,
+    pairs_per_event: int = 150,
+    read_len: int = 40,
+    mean_frag_len: float = 250.0,
+    sd_frag_len: float = 15.0,
+    seed: int = 0,
+) -> Dict[str, object]:
+    """Paired-end GFF + BAM + truth table (exons sized so the fragment
+    distribution fits both isoforms)."""
+    os.makedirs(out_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    genes, records, true_psi = make_se_catalog(
+        num_events, rng, exon_lens=(300, 100, 300))
+    gff_path = os.path.join(out_dir, "catalog.gff")
+    write_gff(records, gff_path)
+    bam_path = os.path.join(out_dir, "catalog.bam")
+    simulate_catalog_bam_paired(genes, true_psi, pairs_per_event,
+                                read_len, mean_frag_len, sd_frag_len,
+                                bam_path, rng)
+    return {"gff": gff_path, "bam": bam_path, "true_psi": true_psi,
+            "genes": genes, "read_len": read_len,
+            "mean_frag_len": mean_frag_len, "sd_frag_len": sd_frag_len}
+
+
 def build_catalog_fixture(
     out_dir: str,
     num_events: int = 50,
