@@ -87,3 +87,55 @@ def test_paired_batch_equals_per_gene(paired_chrom):
     # the CLI-level paired path is covered by
     # tests/test_pipeline.py::test_paired_end_cli, which now routes
     # through compile_paired_end_many
+
+
+def test_compile_tables_equal_gene_path(tmp_path):
+    """The index's precomputed compile tables must drive
+    compile_single_end_many to the SAME events as the Gene-object path
+    (the tables are a pure cache; any divergence is silent corruption)."""
+    import os
+
+    import jax
+
+    from miso_tpu.io.index import (get_gene_ids_to_filenames, index_gff,
+                                   load_chrom_batch, load_compile_tables)
+    from miso_tpu.testing import build_catalog_fixture
+    from miso_tpu.core.events import compile_single_end_many
+
+    fix = build_catalog_fixture(str(tmp_path / "c"), num_events=60,
+                                reads_per_event=60, read_len=36, seed=9)
+    idx = str(tmp_path / "idx")
+    index_gff(fix["gff"], idx)
+    aln = sam_io.open_alignments(fix["bam"])
+    ids = get_gene_ids_to_filenames(idx)
+    d = os.path.dirname(sorted(ids.values())[0])
+    batch = load_chrom_batch(d)
+    tables = load_compile_tables(d)
+    assert batch is not None and tables is not None
+    gids = sorted(batch.keys())
+    genes = [batch[g]["gene_object"] for g in gids]
+    chrom = genes[0].chrom
+    genes = [g for g in genes if g.chrom == chrom]
+    gids = [g.label for g in genes]
+    scan = aln.scan_chrom_columnar(chrom)
+    if scan is None:
+        pytest.skip("native scanner unavailable")
+    kw = dict(read_len=36, min_event_reads=20)
+    via_tables = compile_single_end_many(
+        genes, gids, scan, tables=tables,
+        rows=[tables["row"][g] for g in gids], **kw)
+    via_genes = compile_single_end_many(genes, gids, scan, **kw)
+    assert via_tables is not None and via_genes is not None
+    n = 0
+    for a, b in zip(via_tables, via_genes):
+        assert (a is None) == (b is None)
+        if a is None:
+            continue
+        np.testing.assert_array_equal(a.classes.templates,
+                                      b.classes.templates)
+        np.testing.assert_array_equal(a.counts, b.counts)
+        np.testing.assert_allclose(a.weights, b.weights)
+        np.testing.assert_allclose(a.log_iso_w, b.log_iso_w)
+        assert a.num_reads == b.num_reads
+        n += 1
+    assert n >= 10
