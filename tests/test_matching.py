@@ -123,3 +123,47 @@ def test_native_matcher_equals_python():
     finally:
         native.match_iso_native = real
     assert np.array_equal(m_native, m_py)
+
+
+def test_fused_match_classes_random_genes_vs_numpy():
+    """Property check: the fused native match+collapse equals the numpy
+    oracle (match_iso + collapse_to_classes) on randomized gene
+    structures and reads -- classes, counts, order, any_compatible."""
+    import os
+
+    import miso_tpu.native as nat
+    from miso_tpu.core.matching import (collapse_to_classes, match_classes,
+                                        match_iso)
+    from miso_tpu.core.simulate import simulate_reads
+
+    if nat.load() is None:
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(17)
+    for trial in range(10):
+        ni = int(rng.integers(2, 7))
+        nparts = int(rng.integers(ni, ni + 3))
+        lens = rng.integers(30, 200, nparts).tolist()
+        isoforms = []
+        for _ in range(ni):
+            k = int(rng.integers(1, nparts + 1))
+            isoforms.append(sorted(rng.choice(
+                np.arange(1, nparts + 1), size=k, replace=False).tolist()))
+        g = make_gene(lens, isoforms)
+        psi = rng.dirichlet(np.ones(ni))
+        _, pos, cig = simulate_reads(g, psi, 200, 25, rng)
+        pos = np.asarray(pos)
+        cls, anyc = match_classes(g, pos, cig, 25, 1)
+        os.environ["MISO_NO_NATIVE"] = "1"
+        nat._LIB = None
+        nat._TRIED = False
+        try:
+            m = match_iso(g, pos, cig, 25, 1)
+        finally:
+            del os.environ["MISO_NO_NATIVE"]
+            nat._LIB = None
+            nat._TRIED = False
+        ref = collapse_to_classes(m)
+        np.testing.assert_array_equal(cls.templates, ref.templates,
+                                      err_msg="trial %d" % trial)
+        np.testing.assert_array_equal(cls.counts, ref.counts)
+        assert anyc == bool((m > 0).any())
