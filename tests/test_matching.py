@@ -1,4 +1,5 @@
 import numpy as np
+import pytest
 
 from miso_tpu.core.gene import make_gene
 from miso_tpu.core.matching import (collapse_to_classes, match_iso,
