@@ -256,22 +256,41 @@ def load_miso_file(source) -> Optional[MISOFileData]:
     if len(lines) < 3:
         return None
     header = lines[0].rstrip("\n")
-    samples = []
-    scores = []
-    try:
-        for line in lines[2:]:
-            line = line.strip()
-            if not line:
-                continue
-            psi_str, score_str = line.split("\t")
-            samples.append([float(v) for v in psi_str.split(",")])
-            scores.append(float(score_str))
-    except ValueError:
-        return None
-    if not samples:
-        return None
-    samples = np.array(samples)
-    scores = np.array(scores)
+    # bulk parse: one delimiter normalization + one C-level float
+    # conversion (the per-line Python loop made summarize_miso 3x
+    # slower than quantification at 50k events)
+    samples = scores = None
+    if len(lines) > 2:
+        ncols = lines[2].count(",") + 2
+        toks = "".join(lines[2:]).replace("\t", ",").replace(
+            "\n", ",").split(",")
+        while toks and toks[-1] == "":
+            toks.pop()
+        if toks and len(toks) % ncols == 0:
+            try:
+                arr = np.asarray(toks, dtype=np.float64
+                                 ).reshape(-1, ncols)
+                samples = arr[:, :-1]
+                scores = arr[:, -1]
+            except ValueError:
+                samples = scores = None
+    if samples is None:  # ragged/odd formatting: per-line fallback
+        samples = []
+        scores = []
+        try:
+            for line in lines[2:]:
+                line = line.strip()
+                if not line:
+                    continue
+                psi_str, score_str = line.split("\t")
+                samples.append([float(v) for v in psi_str.split(",")])
+                scores.append(float(score_str))
+        except ValueError:
+            return None
+        if not samples:
+            return None
+        samples = np.array(samples)
+        scores = np.array(scores)
     map_idx = int(np.argmax(samples[:, 0]))
     return MISOFileData(
         samples=samples, header=header, log_scores=scores,
