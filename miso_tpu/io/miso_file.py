@@ -270,8 +270,13 @@ def load_miso_file(source) -> Optional[MISOFileData]:
             try:
                 arr = np.asarray(toks, dtype=np.float64
                                  ).reshape(-1, ncols)
-                samples = arr[:, :-1]
-                scores = arr[:, -1]
+                # ragged files with compensating missing/extra fields
+                # can still divide evenly; require one parsed row per
+                # non-empty sample line before trusting the bulk parse
+                n_lines = sum(1 for l in lines[2:] if l.strip())
+                if len(arr) == n_lines:
+                    samples = arr[:, :-1]
+                    scores = arr[:, -1]
             except ValueError:
                 samples = scores = None
     if samples is None:  # ragged/odd formatting: per-line fallback

@@ -488,10 +488,15 @@ class StreamRunner:
         # Transfers are NOT forced here: the materializer thread pulls
         # them while this thread dispatches the next chunk.
         flat_psi = res.flat_samples()
+        # clip to the 0..10000 tick range before the cast (mirrors
+        # _format_sample_block's np.clip): a psi one ULP above 1.0 or a
+        # garbage lane would otherwise overflow the uint16 LUT index
         if pad_iso == 2:
-            quant = jnp.round(flat_psi[:, :, 0] * 1e4).astype(jnp.uint16)
+            quant = jnp.clip(jnp.round(flat_psi[:, :, 0] * 1e4),
+                             0, 10000).astype(jnp.uint16)
         else:
-            quant = jnp.round(flat_psi * 1e4).astype(jnp.uint16)
+            quant = jnp.clip(jnp.round(flat_psi * 1e4),
+                             0, 10000).astype(jnp.uint16)
         ll = res.flat_loglik()
         cents = jnp.round(ll * 100.0)
         cmin = jnp.min(cents, axis=1)

@@ -226,7 +226,11 @@ def run_batch_convergent(
         sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
         sp = None if start_psi is None else start_psi[remaining]
         sub, sp = _pow2_pad_events(sub, sp, len(remaining))
-        rkey = rkeys[min(round_i, 23)]
+        # the 3x-growth schedule bounds rounds far below 24; enforce it
+        # rather than silently replaying rkeys[23] if that ever changes
+        assert round_i < len(rkeys), (
+            f"convergent continuation exceeded {len(rkeys)} rounds")
+        rkey = rkeys[round_i]
         # numpy start_psi rides the jit call (an eager jnp.asarray put
         # would cost its own remote round-trip per continuation round)
         sp_j = sp

@@ -22,6 +22,12 @@ def compute_credible_intervals(samples: np.ndarray,
     lo = int(round((alpha / 2) * n)) - 1
     hi = int(round((1 - alpha / 2) * n)) - 1
     if lo <= 0 or hi <= 0:
+        # DELIBERATE DIVERGENCE from misopy/credible_intervals.py:31-55:
+        # there int(round(q*n))-1 silently yields index -1 for tiny n,
+        # which numpy wrap-around turns into the LARGEST sample as the
+        # LOWER bound -- a wrong row emitted without complaint.  A
+        # truncated/filtered .miso file should error loudly instead.
+        # Documented in docs/VALIDATION.md ("small-n credible intervals").
         raise ValueError("Too few samples for credible interval (n=%d)" % n)
     s = np.sort(samples)
     return float(s[lo]), float(s[hi])
