@@ -59,6 +59,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "(MISO_START_LINEAR, pysplicing/src/"
                         "miso.c:410-443; the reference exposes this "
                         "only through its C API).")
+    p.add_argument("--summary-only", dest="summary_only",
+                   action="store_true", default=False,
+                   help="Skip .miso sample files: compute posterior "
+                        "means + credible intervals ON DEVICE and "
+                        "write only the .miso_summary table (the "
+                        "run-then-summarize round-trip of "
+                        "summarize_miso collapses into the run).")
     p.add_argument("--profile", dest="profile_dir", default=None,
                    metavar="DIR",
                    help="Write a jax.profiler device trace for the run "
@@ -150,6 +157,7 @@ def main(argv=None) -> int:
         frag_variance=(args.paired_end[1] ** 2) if paired else None,
         **({"stop": "convergent"} if args.convergent else {}),
         **({"start": "linear"} if args.linear_start else {}),
+        summary_only=args.summary_only,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     index_dir = os.path.abspath(os.path.expanduser(index_dir))

@@ -397,6 +397,67 @@ SUMMARY_HEADER_FIELDS = [
 ]
 
 
+def summary_row_fields(event: CompiledEvent, res: dict
+                       ) -> Optional[List[str]]:
+    """Build one `.miso_summary` row STRAIGHT from a run result dict --
+    no .miso text round-trip (the reference always re-reads the sample
+    files it just wrote: samples_utils.py:263-329).  `res['summary']`
+    carries (mean, ci_low, ci_high) vectors at tick (1e-4) precision,
+    computed on device by the pipeline; every other field is generated
+    by the same functions that generate the .miso header, so the row is
+    byte-identical to what summarize_miso would produce from the file."""
+    summ = res.get("summary")
+    if summ is None:
+        return None
+    mean, lo, hi = summ
+    gene = event.gene
+    k = event.num_iso
+    if k > 2:
+        mean_s = ",".join("%.2f" % v for v in mean[:k])
+        lo_s = ",".join("%.2f" % v for v in lo[:k])
+        hi_s = ",".join("%.2f" % v for v in hi[:k])
+    else:
+        # 2-isoform events summarize column 0 only
+        # (credible_intervals.py:31-55 via format_credible_intervals)
+        mean_s, lo_s, hi_s = ("%.2f" % mean[0], "%.2f" % lo[0],
+                              "%.2f" % hi[0])
+    chrom = gene.chrom if gene.chrom is not None else "NA"
+    strand = gene.strand if gene.strand is not None else "NA"
+    mrna_starts = ",".join(str(gene.iso_genomic_span(i)[0])
+                           for i in range(gene.num_isoforms))
+    mrna_ends = ",".join(str(gene.iso_genomic_span(i)[1])
+                         for i in range(gene.num_isoforms))
+    return [event.name, mean_s, lo_s, hi_s,
+            isoforms_str(gene)[1:-1], event.counts_str(),
+            assigned_counts_str(res["final_n"], k),
+            chrom, strand, mrna_starts, mrna_ends]
+
+
+def write_summary_file(summary_filename: str, rows: Dict[str, str],
+                       merge: bool = True) -> int:
+    """Write a `.miso_summary` table from {event_name: row-line} (rows
+    are tab-joined field strings, no trailing newline), sorted by event
+    name.  With merge=True an existing summary file's rows are kept for
+    events not in `rows`, so resumed runs (skip-done events never reach
+    the device) do not truncate a previously complete summary."""
+    os.makedirs(os.path.dirname(os.path.abspath(summary_filename)),
+                exist_ok=True)
+    existing: Dict[str, str] = {}
+    if merge and os.path.isfile(summary_filename):
+        with open(summary_filename) as f:
+            f.readline()  # header
+            for line in f:
+                line = line.rstrip("\n")
+                if line:
+                    existing[line.split("\t", 1)[0]] = line
+    existing.update(rows)
+    with open(summary_filename, "w") as out:
+        out.write("\t".join(SUMMARY_HEADER_FIELDS) + "\n")
+        for name in sorted(existing):
+            out.write(existing[name] + "\n")
+    return len(existing)
+
+
 def summarize_sampler_results(samples_dir: str, summary_filename: str,
                               use_compressed: Optional[str] = None) -> int:
     """Write the `.miso_summary` table; returns events summarized.

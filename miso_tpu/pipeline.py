@@ -70,6 +70,12 @@ class RunConfig:
     # 3*noIter - 2*burnIn adaptive extension, miso.c:903-928)
     stop: str = "fixed"
     max_iters: int = 500000
+    # skip .miso sample bodies entirely: posterior mean + Chen-Shao CIs
+    # compute ON DEVICE and only the per-event summary payload (a few
+    # bytes/event instead of ~10 KB of quantized samples) leaves the
+    # chip -- the TPU-first replacement for run-then-summarize
+    # (misopy/samples_utils.py:263-329 re-reads every .miso file)
+    summary_only: bool = False
 
     @classmethod
     def from_settings(cls, settings: Settings, read_len: int, **kw):
@@ -237,6 +243,45 @@ def _expand_jit(weights, log_read, counts, R: int):
 
 
 _EXPAND_JIT = None
+
+
+def _summary_stats(quant, lo: int, hi: int):
+    """Device-side posterior summary of the quantized psi ticks:
+    per-(event, isoform) int32 tick sum (exact -- the host divides in
+    float64, so the mean matches a float64 mean of the 1e-4-quantized
+    samples) plus the Chen-Shao order statistics at the lo/hi bound
+    indices (credible_intervals.py:31-55 index arithmetic; sorting the
+    ticks picks exactly the values sorting the parsed floats would).
+    quant: (E, S) two-isoform column 0, or (E, S, I)."""
+    import jax.numpy as jnp
+
+    s = jnp.sort(quant, axis=1)
+    ssum = jnp.sum(quant.astype(jnp.int32), axis=1)
+    return ssum, s[:, lo], s[:, hi]
+
+
+def _summary_jit(quant, lo: int, hi: int):
+    import jax
+    global _SUMMARY_JIT
+    if _SUMMARY_JIT is None:
+        _SUMMARY_JIT = jax.jit(_summary_stats,
+                               static_argnames=("lo", "hi"))
+    return _SUMMARY_JIT(quant, lo, hi)
+
+
+_SUMMARY_JIT = None
+
+
+def _ci_bound_indices(num_samples: int,
+                      confidence_level: float = 0.95):
+    """(lo, hi) sorted-sample indices, or None if the sample count is
+    too small for the interval (see stats/intervals.py)."""
+    alpha = 1 - confidence_level
+    lo = int(round((alpha / 2) * num_samples)) - 1
+    hi = int(round((1 - alpha / 2) * num_samples)) - 1
+    if lo <= 0 or hi <= 0:
+        return None
+    return lo, hi
 
 
 class StreamRunner:
@@ -431,7 +476,7 @@ class StreamRunner:
                     # (chain 0), as in the fixed-stop path
                     # (miso.c:935-947)
                     fn = ev.final_assignment_counts(r["final_psi"][0, :k])
-                results.append({
+                res_d = {
                     "samples": r["samples"][:, :k],
                     "loglik": r["loglik"],
                     "percent_accept": 100.0 * r["accepted"]
@@ -439,7 +484,19 @@ class StreamRunner:
                     "final_n": fn,
                     "iters": int(r["iters"]),
                     "burn_in": int(r["burn_in"]),
-                })
+                }
+                # posterior summary at tick precision (same arithmetic
+                # as the device path; convergent results arrive as
+                # floats, so quantize-then-summarize on the host)
+                t = np.clip(np.round(res_d["samples"] * 1e4),
+                            0, 10000).astype(np.int64)
+                bounds = _ci_bound_indices(t.shape[0])
+                if bounds is not None:
+                    st = np.sort(t, axis=0)
+                    res_d["summary"] = (
+                        (t.astype(np.float64) / 1e4).mean(axis=0),
+                        st[bounds[0]] / 1e4, st[bounds[1]] / 1e4)
+                results.append(res_d)
             if self.bucket_stats is not None:
                 dt = time.time() - t_bucket
                 self.bucket_stats.append({
@@ -497,18 +554,29 @@ class StreamRunner:
         else:
             quant = jnp.clip(jnp.round(flat_psi * 1e4),
                              0, 10000).astype(jnp.uint16)
-        ll = res.flat_loglik()
-        cents = jnp.round(ll * 100.0)
-        cmin = jnp.min(cents, axis=1)
-        cmax = jnp.max(cents, axis=1)
-        resid = jnp.clip(cents - cmin[:, None], 0, 65535).astype(jnp.uint16)
+        # device-side posterior summary (mean tick sums + Chen-Shao
+        # order statistics): a few bytes/event of readback; in
+        # summary_only mode it is the ONLY per-sample payload fetched
+        bounds = _ci_bound_indices(quant.shape[1])
+        summ = (None if bounds is None
+                else _summary_jit(quant, bounds[0], bounds[1]))
+        if cfg.summary_only:
+            quant = ll = cmin = cmax = resid = None
+        else:
+            ll = res.flat_loglik()
+            cents = jnp.round(ll * 100.0)
+            cmin = jnp.min(cents, axis=1)
+            cmax = jnp.max(cents, axis=1)
+            resid = jnp.clip(cents - cmin[:, None], 0,
+                             65535).astype(jnp.uint16)
         # bound device-memory retention: each pending chunk pins its
         # full-precision loglik (the wide-row fallback source) plus the
         # quantized buffers in HBM; the bounded queue supplies a few
         # chunks of transfer/compute overlap and backpressure beyond it
         self._put({
             "evs": evs, "tags": tags, "quant": quant,
-            "two_iso": pad_iso == 2,
+            "two_iso": pad_iso == 2, "summ": summ,
+            "n_samples": int(res.flat_samples().shape[1]),
             "ll_min": cmin, "ll_max": cmax, "ll_resid": resid,
             "ll_full": ll, "accepted": res.accepted,
             "rejected": res.rejected, "final_n": res.final_n,
@@ -536,33 +604,67 @@ class StreamRunner:
         # ONE device_get for the whole chunk payload: separate
         # np.asarray fetches pay per-transfer round-trip overhead each
         # on remote-tunneled runtimes (the device->host link is the
-        # catalog-scale wall)
-        (q, cmin, cmax, resid, accepted, rejected, final_n,
-         final_psi) = jax.device_get(
-            (p["quant"], p["ll_min"], p["ll_max"], p["ll_resid"],
-             p["accepted"], p["rejected"], p["final_n"], p["final_psi"]))
-        # keep everything QUANTIZED: the ticks/centipoints ARE the .miso
-        # output precision, so the writer formats them directly and the
-        # float arrays (2 x ~90 MB of float64 per 4096-event chunk) are
-        # only materialized lazily if an API consumer asks (_LazyResult)
-        if p["two_iso"]:
-            ticks = np.empty(q.shape + (2,), np.uint16)
-            ticks[:, :, 0] = q
-            ticks[:, :, 1] = 10000 - q
-        else:
-            ticks = q
-        with np.errstate(invalid="ignore"):
-            # padded events carry NaN score rows; their cmin casts to a
-            # garbage int that no real event ever reads
-            cmin_i = np.round(np.nan_to_num(cmin.astype(np.float64))
-                              ).astype(np.int64)
-        cmax_f = cmax.astype(np.float64)
-        # padded events carry NaN score rows (masked lanes); only the
-        # real rows matter, and only they may need the f32 fallback
+        # catalog-scale wall).  summary_only fetches ONLY the summary
+        # payload (KBs/chunk) -- the quantized sample matrices never
+        # leave the device.
+        fetch = {"accepted": p["accepted"], "rejected": p["rejected"],
+                 "final_n": p["final_n"], "final_psi": p["final_psi"]}
+        if p["quant"] is not None:
+            fetch.update(quant=p["quant"], ll_min=p["ll_min"],
+                         ll_max=p["ll_max"], ll_resid=p["ll_resid"])
+        if p["summ"] is not None:
+            fetch["summ"] = p["summ"]
+        h = jax.device_get(fetch)
+        accepted, rejected = h["accepted"], h["rejected"]
+        final_n, final_psi = h["final_n"], h["final_psi"]
         n_real = len(evs)
-        with np.errstate(invalid="ignore"):
-            wide = set(np.flatnonzero(
-                (cmax_f[:n_real] - cmin[:n_real]) > 65535).tolist())
+        S = p["n_samples"]
+        # per-event summary vectors at tick precision: the mean from the
+        # host ticks when they are here (float64 mean of the quantized
+        # samples -- bitwise what summarize_miso computes from the .miso
+        # text), else from the exact device tick sums
+        summary = None
+        if p["summ"] is not None:
+            ssum, lo_t, hi_t = h["summ"]
+            lo_v = lo_t.astype(np.float64) / 1e4
+            hi_v = hi_t.astype(np.float64) / 1e4
+            if "quant" in h:
+                mean_v = (h["quant"].astype(np.float64) / 1e4
+                          ).mean(axis=1)
+            else:
+                mean_v = ssum.astype(np.float64) / S / 1e4
+            if p["two_iso"]:  # column-0 scalars -> (E, 1) vectors
+                mean_v, lo_v, hi_v = (a.reshape(len(a), 1)
+                                      for a in (mean_v, lo_v, hi_v))
+            summary = (mean_v, lo_v, hi_v)
+        ticks = cmin_i = resid = None
+        wide = set()
+        if "quant" in h:
+            q = h["quant"]
+            cmin, cmax, resid = h["ll_min"], h["ll_max"], h["ll_resid"]
+            # keep everything QUANTIZED: the ticks/centipoints ARE the
+            # .miso output precision, so the writer formats them
+            # directly and the float arrays (2 x ~90 MB of float64 per
+            # 4096-event chunk) are only materialized lazily if an API
+            # consumer asks (_LazyResult)
+            if p["two_iso"]:
+                ticks = np.empty(q.shape + (2,), np.uint16)
+                ticks[:, :, 0] = q
+                ticks[:, :, 1] = 10000 - q
+            else:
+                ticks = q
+            with np.errstate(invalid="ignore"):
+                # padded events carry NaN score rows; their cmin casts
+                # to a garbage int that no real event ever reads
+                cmin_i = np.round(np.nan_to_num(cmin.astype(np.float64))
+                                  ).astype(np.int64)
+            cmax_f = cmax.astype(np.float64)
+            # padded events carry NaN score rows (masked lanes); only
+            # the real rows matter, and only they may need the f32
+            # fallback
+            with np.errstate(invalid="ignore"):
+                wide = set(np.flatnonzero(
+                    (cmax_f[:n_real] - cmin[:n_real]) > 65535).tolist())
         results = []
         for j, ev in enumerate(evs):
             k = ev.num_iso
@@ -572,16 +674,20 @@ class StreamRunner:
                 # (miso.c:935-947)
                 fn = ev.final_assignment_counts(final_psi[j, 0, :k])
             res = _LazyResult({
-                "psi_ticks": ticks[j, :, :k],
                 "percent_accept": 100.0 * accepted[j]
                     / max(accepted[j] + rejected[j], 1),
                 "final_n": fn,
             })
-            if j in wide:  # rare: full-precision row fetch
-                res["loglik"] = np.asarray(p["ll_full"][int(j)])
-            else:
-                res["score_cents"] = (resid[j].astype(np.int64)
-                                      + cmin_i[j])
+            if summary is not None:
+                res["summary"] = (summary[0][j], summary[1][j],
+                                  summary[2][j])
+            if ticks is not None:
+                res["psi_ticks"] = ticks[j, :, :k]
+                if j in wide:  # rare: full-precision row fetch
+                    res["loglik"] = np.asarray(p["ll_full"][int(j)])
+                else:
+                    res["score_cents"] = (resid[j].astype(np.int64)
+                                          + cmin_i[j])
             results.append(res)
         if self.bucket_stats is not None:
             dt = time.time() - p["t0"]
@@ -1080,6 +1186,12 @@ def compute_all_genes_psi(
 
     settings = settings or Settings.get()
     cfg = cfg or RunConfig.from_settings(settings, read_len)
+    if cfg.summary_only and cfg.stop != "convergent":
+        n_s = ((cfg.iters - cfg.burn_in) // cfg.lag) * cfg.chains
+        if _ci_bound_indices(n_s) is None:
+            raise ValueError(
+                "--summary-only needs enough retained samples for the "
+                "95%% credible interval (got %d; need ~40+)" % n_s)
     setup_logger(output_dir)
     check_gff_and_bam(index_dir, alignments_path,
                       given_read_len=cfg.filter_read_len)
@@ -1113,15 +1225,28 @@ def compute_all_genes_psi(
     write_lock = threading.Lock()
 
     progress = {"done": 0, "t_last": t0}
+    # run-integrated posterior summary: rows accumulate as chunks land
+    # (device-side means/CIs; see summary_row_fields) and the
+    # .miso_summary writes once at the end -- summarize_miso's 3 GB
+    # text re-parse at 50k events becomes a no-op
+    from miso_tpu.io.miso_file import summary_row_fields
+    summary_rows: Dict[str, str] = {}
 
     def on_chunk(evs, results):
         # slices of ~512 events per pool task: each batch-formats its
         # sample bodies in one vectorized pass (see _write_events_batch)
         with write_lock:
-            for lo in range(0, len(evs), 512):
-                write_futures.append(write_pool.submit(
-                    _write_events_batch, output_dir, cfg,
-                    evs[lo:lo + 512], results[lo:lo + 512]))
+            if not cfg.summary_only:
+                for lo in range(0, len(evs), 512):
+                    write_futures.append(write_pool.submit(
+                        _write_events_batch, output_dir, cfg,
+                        evs[lo:lo + 512], results[lo:lo + 512]))
+            for ev, res in zip(evs, results):
+                if res is None:
+                    continue
+                fields = summary_row_fields(ev, res)
+                if fields is not None:
+                    summary_rows[ev.name] = "\t".join(fields)
             progress["done"] += len(evs)
             now = time.time()
             if verbose and now - progress["t_last"] > 15:
@@ -1209,6 +1334,17 @@ def compute_all_genes_psi(
     for f in write_futures:
         written += f.result()
     write_pool.shutdown()
+    if summary_rows:
+        from miso_tpu.io.miso_file import write_summary_file
+        label = os.path.basename(os.path.normpath(output_dir))
+        summary_filename = os.path.join(output_dir, "summary",
+                                        "%s.miso_summary" % label)
+        n_summ = write_summary_file(summary_filename, summary_rows)
+        if verbose:
+            print("Posterior summary (%d events, device-side): %s"
+                  % (n_summ, summary_filename))
+        if cfg.summary_only:
+            written = len(summary_rows)
     if verbose:
         dt = time.time() - t0
         n_dev = max(1, len(jax.local_devices()))

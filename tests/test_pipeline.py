@@ -434,3 +434,66 @@ def test_streaming_pipeline_deterministic(tmp_path):
     for f0 in files0:
         f1 = f0.replace(outs[0], outs[1], 1)
         assert filecmp.cmp(f0, f1, shallow=False), f0
+
+def test_run_integrated_summary(tmp_path):
+    """The run writes .miso_summary straight from the device payload
+    (no text round-trip); rows must be byte-identical to what
+    summarize_miso produces by re-parsing the .miso tree.  And
+    --summary-only yields the same summary with no .miso bodies at
+    all (the readback is the per-event summary payload only)."""
+    import glob as glob_mod
+
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.cli.summarize import main as summarize_main
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "fix"), num_events=30,
+                                reads_per_event=200, seed=11)
+    settings = tmp_path / "settings.txt"
+    settings.write_text(FAST_SETTINGS)
+    index_dir = str(tmp_path / "index")
+    assert index_main(["--index", fix["gff"], index_dir]) == 0
+    out_dir = str(tmp_path / "out")
+    assert miso_main(["--run", index_dir, fix["bam"],
+                      "--output-dir", out_dir,
+                      "--read-len", str(fix["read_len"]),
+                      "--settings-filename", str(settings)]) == 0
+    run_summary = os.path.join(out_dir, "summary", "out.miso_summary")
+    assert os.path.isfile(run_summary)
+    # the text path over the same .miso tree (the reference's only way:
+    # samples_utils.py:263-329)
+    summ_dir = str(tmp_path / "textsumm")
+    assert summarize_main(["--summarize-samples", out_dir,
+                           summ_dir]) == 0
+    text_summary = os.path.join(summ_dir, "summary", "out.miso_summary")
+    with open(run_summary) as f:
+        run_lines = sorted(f.read().splitlines())
+    with open(text_summary) as f:
+        text_lines = sorted(f.read().splitlines())
+    assert len(run_lines) == 31  # header + 30 events
+    assert run_lines == text_lines
+
+    # --summary-only: same summary, no .miso bodies
+    so_dir = str(tmp_path / "so")
+    assert miso_main(["--run", index_dir, fix["bam"],
+                      "--output-dir", so_dir,
+                      "--read-len", str(fix["read_len"]),
+                      "--settings-filename", str(settings),
+                      "--summary-only"]) == 0
+    so_summary = os.path.join(so_dir, "summary", "so.miso_summary")
+    assert os.path.isfile(so_summary)
+    assert glob_mod.glob(os.path.join(so_dir, "*", "*.miso")) == []
+    with open(so_summary) as f:
+        so_lines = sorted(f.read().splitlines())
+    # same seed -> identical sampler ticks; CI fields are exact order
+    # statistics (identical), the mean differs only by integer-sum vs
+    # float64-mean arithmetic (<1e-12, so equal at %.2f except exact
+    # rounding boundaries)
+    assert len(so_lines) == len(run_lines)
+    for a, b in zip(so_lines, run_lines):
+        fa, fb = a.split("\t"), b.split("\t")
+        assert fa[0] == fb[0]
+        assert fa[2:] == fb[2:]
+        if fa[0] != "event_name":
+            assert abs(float(fa[1]) - float(fb[1])) <= 0.011
