@@ -57,7 +57,8 @@ def build_catalog(num_events, reads_per_event=200, seed=0,
     return batches
 
 
-def run_e2e(num_genes: int, verbose: bool = False) -> float:
+def run_e2e(num_genes: int, verbose: bool = False,
+            summary_only: bool = False, timed_runs: int = 2) -> list:
     """End-to-end benchmark: GFF+BAM catalog -> .miso files, wall-clock.
 
     Measures the full production path (compute_all_genes_psi: indexed
@@ -65,7 +66,11 @@ def run_e2e(num_genes: int, verbose: bool = False) -> float:
     overlapping device sampling, quantized readback, .miso writes) on a
     simulated catalog -- the number the reference's per-event wall-clock
     print corresponds to (misopy/miso_sampler.py:373), at catalog scale.
-    The fixture is cached across runs.  Returns events/s.
+    With summary_only=True the run writes ONLY the device-computed
+    .miso_summary (no .miso bodies; the readback is KBs instead of
+    ~100 MB).  The fixture is cached across runs.  Returns the list of
+    timed events/s values (report best AND median: run-to-run spread
+    through the shared remote tunnel is real, docs/VALIDATION.md).
     """
     import shutil
 
@@ -84,22 +89,21 @@ def run_e2e(num_genes: int, verbose: bool = False) -> float:
     if not os.path.isdir(idx):
         from miso_tpu.io.index import index_gff
         index_gff(os.path.join(fixdir, "catalog.gff"), idx)
-    out = os.path.join(fixdir, "out")
+    out = os.path.join(fixdir, "out_summ" if summary_only else "out")
     cfg = RunConfig(read_len=36, iters=5000, burn_in=500, lag=10,
-                    chains=6, min_event_reads=20)
-    # warm run compiles device shapes; best of 2 timed runs (the remote
-    # tunnel's transfer bandwidth varies with external load, and the
-    # minimum wall is the honest steady-state number)
-    best = 0.0
-    for timed in (False, True, True):
+                    chains=6, min_event_reads=20,
+                    summary_only=summary_only)
+    # warm run compiles device shapes; then timed runs
+    vals = []
+    for timed in (False,) + (True,) * timed_runs:
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
         written = compute_all_genes_psi(idx, bam, 36, out, cfg=cfg,
                                         verbose=timed and verbose)
         dt = time.perf_counter() - t0
         if timed:
-            best = max(best, written / dt)
-    return best
+            vals.append(written / dt)
+    return vals
 
 
 def run_e2e_paired(num_genes: int, verbose: bool = False) -> float:
@@ -128,7 +132,7 @@ def run_e2e_paired(num_genes: int, verbose: bool = False) -> float:
     cfg = RunConfig(read_len=40, paired_end=True, mean_frag_len=250.0,
                     frag_variance=15.0 ** 2, iters=5000, burn_in=500,
                     lag=10, chains=6, min_event_reads=20)
-    best = 0.0
+    vals = []
     for timed in (False, True, True):
         shutil.rmtree(out, ignore_errors=True)
         t0 = time.perf_counter()
@@ -136,18 +140,31 @@ def run_e2e_paired(num_genes: int, verbose: bool = False) -> float:
                                         verbose=timed and verbose)
         dt = time.perf_counter() - t0
         if timed:
-            best = max(best, written / dt)
-    return best
+            vals.append(written / dt)
+    return vals
 
 
-def main_e2e(num_genes: int) -> None:
-    eps = run_e2e(num_genes, verbose=True)
+def _best_median(vals):
+    vals = sorted(vals)
+    return (round(vals[-1], 2),
+            round(vals[len(vals) // 2] if len(vals) % 2
+                  else (vals[len(vals) // 2 - 1]
+                        + vals[len(vals) // 2]) / 2, 2))
+
+
+def main_e2e(num_genes: int, summary_only: bool = False) -> None:
+    vals = run_e2e(num_genes, verbose=True, summary_only=summary_only)
+    best, median = _best_median(vals)
     target = 1e4
     print(json.dumps({
-        "metric": "events_end_to_end_per_s",
-        "value": round(eps, 2),
-        "unit": "events/s (BAM -> .miso, 5000 iters x 6 chains)",
-        "vs_baseline": round(eps / target, 4),
+        "metric": ("events_end_to_end_summary_per_s" if summary_only
+                   else "events_end_to_end_per_s"),
+        "value": best,
+        "median": median,
+        "unit": ("events/s (BAM -> .miso_summary, device-side summary)"
+                 if summary_only
+                 else "events/s (BAM -> .miso, 5000 iters x 6 chains)"),
+        "vs_baseline": round(best / target, 4),
     }))
 
 
@@ -213,7 +230,9 @@ def main():
     # on a cached 10k-gene catalog (host ingest + streamed compile +
     # device sampling + quantized readback + file writes)
     try:
-        record["e2e_events_per_s"] = round(run_e2e(10000), 2)
+        best, median = _best_median(run_e2e(10000))
+        record["e2e_events_per_s"] = best
+        record["e2e_events_per_s_median"] = median
     except Exception as e:  # never let the e2e leg kill the record
         record["e2e_error"] = "%s: %s" % (type(e).__name__, str(e)[:120])
     print(json.dumps(record))
@@ -223,13 +242,18 @@ if __name__ == "__main__":
     if "--e2e-paired" in sys.argv:
         sys.argv.remove("--e2e-paired")
         n = int(sys.argv[1]) if len(sys.argv) > 1 else 2000
-        eps = run_e2e_paired(n, verbose=True)
+        best, median = _best_median(run_e2e_paired(n, verbose=True))
         print(json.dumps({
             "metric": "paired_events_end_to_end_per_s",
-            "value": round(eps, 2),
+            "value": best,
+            "median": median,
             "unit": "events/s (paired BAM -> .miso, 5000 iters x 6 chains)",
-            "vs_baseline": round(eps / 1e4, 4),
+            "vs_baseline": round(best / 1e4, 4),
         }))
+    elif "--e2e-summary" in sys.argv:
+        sys.argv.remove("--e2e-summary")
+        main_e2e(int(sys.argv[1]) if len(sys.argv) > 1 else 10000,
+                 summary_only=True)
     elif "--e2e" in sys.argv:
         sys.argv.remove("--e2e")
         main_e2e(int(sys.argv[1]) if len(sys.argv) > 1 else 10000)

@@ -5,6 +5,10 @@ production bench (I=2, R=224, 5000 iters x 6 chains) so kernel variants
 can be compared without paying the full bench.py catalog compile.
 
 Usage: python scripts/kernel_bench.py [num_events] [algorithm]
+       python scripts/kernel_bench.py [num_events] --paired
+  (--paired times the production paired-end bucket shape: fragment-
+   length-probability weights, classes~128, the e2e-paired fixture's
+   150 pairs/event at read_len 40, mean 250 sd 15)
 Env ablations (read by sampler/pallas_kernel.py at import):
   MISO_PALLAS_NO_PRNG=1   constant-uniform chain (PRNG share)
   MISO_PALLAS_NO_RECORD=1 no sample staging (record share)
@@ -29,14 +33,29 @@ def main():
     from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig
     from miso_tpu.sampler.pallas_kernel import run_batch_pallas
 
+    paired = "--paired" in sys.argv
+    if paired:
+        sys.argv.remove("--paired")
     E = int(sys.argv[1]) if len(sys.argv) > 1 else 1024
     rng = np.random.default_rng(0)
-    g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
     protos = []
-    for _ in range(8):
-        psi = rng.dirichlet(np.ones(2))
-        _, pos, cig = simulate_reads(g, psi, 200, 25, rng)
-        protos.append(compile_single_end(g, pos, cig, read_len=25))
+    if paired:
+        from miso_tpu.core.events import compile_paired_end
+        from miso_tpu.core.simulate import simulate_paired_reads
+        g = make_gene([600, 100, 600], [[1, 2, 3], [1, 3]])
+        for _ in range(8):
+            psi = rng.dirichlet(np.ones(2))
+            _, pos, cig = simulate_paired_reads(
+                g, psi, 150, 40, 250.0, 15.0 ** 2, rng=rng)
+            protos.append(compile_paired_end(
+                g, pos, cig, read_len=40, mean_frag_len=250.0,
+                frag_variance=15.0 ** 2))
+    else:
+        g = make_gene([100, 50, 100], [[1, 2, 3], [1, 3]])
+        for _ in range(8):
+            psi = rng.dirichlet(np.ones(2))
+            _, pos, cig = simulate_reads(g, psi, 200, 25, rng)
+            protos.append(compile_single_end(g, pos, cig, read_len=25))
     events = [protos[i % len(protos)] for i in range(E)]
     pad = pad_events(events, pad_iso=2)
     batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
@@ -45,8 +64,9 @@ def main():
     key = jax.random.PRNGKey(0)
     t0 = time.perf_counter()
     np.asarray(run_batch_pallas(key, batch, cfg).accepted)
-    print("compile+run: %.2fs  (R pad = %d)"
-          % (time.perf_counter() - t0, batch.read_w.shape[1]))
+    print("compile+run: %.2fs  (C pad = %d, R pad = %d)"
+          % (time.perf_counter() - t0, batch.weights.shape[1],
+             batch.read_w.shape[1]))
     dt = float("inf")
     for rep in range(5):
         t0 = time.perf_counter()

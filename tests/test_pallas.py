@@ -214,3 +214,34 @@ def test_production_mesh_shard_map_on_chip():
     s = np.asarray(res.flat_samples())[:8]
     means = s[:, :, 0].mean(axis=1)
     assert np.all(np.abs(means - exact) < 0.02), (means, exact)
+
+def test_pallas_paired_agrees_with_xla():
+    """Paired-end events through the fused REASSIGN kernel: fragment-
+    length-probability weights (not {0,1}) and assscores isoform terms
+    (miso_paired.c:241-574 semantics) must sample the same posterior as
+    the XLA scan (whose paired path matches the grid-exact posterior in
+    test_sampler.py)."""
+    from miso_tpu.core.events import compile_paired_end, pad_events
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_paired_reads
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
+    from miso_tpu.sampler.pallas_kernel import run_batch_pallas
+
+    g = make_gene([600, 100, 600], [[1, 2, 3], [1, 3]])
+    rng = np.random.default_rng(11)
+    _, pos, cig = simulate_paired_reads(g, [0.6, 0.4], 400, 40, 250.0,
+                                        15.0 ** 2, rng=rng)
+    ev = compile_paired_end(g, pos, cig, read_len=40, mean_frag_len=250.0,
+                            frag_variance=15.0 ** 2)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events([ev] * 8).items()})
+    cfg = SamplerConfig(iters=1500, burn_in=300, lag=5, chains=4)
+    r1 = run_batch_pallas(jax.random.PRNGKey(4), batch, cfg)
+    r2 = run_batch(jax.random.PRNGKey(5), batch, cfg)
+    m1 = np.asarray(r1.flat_samples())[:, :, 0].mean(axis=1)
+    m2 = float(np.asarray(r2.flat_samples())[:, :, 0].mean())
+    assert np.all(np.abs(m1 - m2) < 0.025), (m1, m2)
+    a1 = float(r1.accepted[0]) / (cfg.iters * cfg.chains)
+    a2 = float(r2.accepted[0]) / (cfg.iters * cfg.chains)
+    assert abs(a1 - a2) < 0.06, (a1, a2)
+    assert a1 > 0.05, ("chain frozen", a1)
