@@ -49,13 +49,16 @@ class CompiledEvent:
         when the sampler scores with position classes (ALGO_CLASSES), as
         in the reference (miso.c:762-767 computes them from the match
         matrix regardless of algorithm).
-        Ref: misopy/miso_sampler.py:404-422."""
-        items = []
-        for c in range(self.classes.num_classes):
-            tmpl = tuple(int(v) for v in self.classes.templates[:, c])
-            items.append("%s:%d" % (str(tmpl).replace(" ", ""),
-                                    int(self.classes.counts[c])))
-        return ",".join(items)
+        Ref: misopy/miso_sampler.py:404-422.
+
+        One int cast + one tolist per event instead of a Python generator
+        per template cell (paired events carry ~100 classes; the per-cell
+        form was a measurable slice of the catalog write phase)."""
+        tm = self.classes.templates.astype(np.int64).T.tolist()  # (C, I)
+        cn = self.classes.counts.astype(np.int64).tolist()
+        return ",".join(
+            "(%s):%d" % (",".join(map(str, t)), n)
+            for t, n in zip(tm, cn))
 
     def final_assignment_counts(self, psi: np.ndarray,
                                 rng: Optional[np.random.Generator] = None

@@ -141,12 +141,19 @@ def _format_quantized(q: np.ndarray, cents: np.ndarray,
     (1e-4), cents (S,) score centipoints, neg (S,) sign flags.  The
     catalog pipeline feeds the device's quantized fetch payload straight
     through here -- no float64 materialization or re-quantization pass.
-    Fully vectorized: the psi block is a fixed-width byte matrix, the
-    variable-width score column is assembled right-aligned against each
-    line's end with masked scatters -- no per-sample Python."""
+    Hot path: the native formatter (native/formatlib.cpp) runs the whole
+    block at memory speed; the vectorized numpy form below (fixed-width
+    psi byte matrix + masked right-aligned score scatters) is the
+    always-available fallback and the parity oracle
+    (tests/test_tools.py pins them byte-equal)."""
     S, I = q.shape
     if S == 0:
         return (b"", np.zeros(1, np.int64)) if return_offsets else b""
+    from miso_tpu import native
+    nat = native.format_quantized(q, cents, neg)
+    if nat is not None:
+        blob, off = nat
+        return (blob, off) if return_offsets else blob
     pc = _PSI_LUT[q]                      # (S, I) 'S6'
     W = 6 * I + (I - 1)
     M = np.empty((S, W + 1), dtype="S1")

@@ -18,7 +18,8 @@ import numpy as np
 
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "matchlib.cpp"),
-         os.path.join(_DIR, "bamlib.cpp")]
+         os.path.join(_DIR, "bamlib.cpp"),
+         os.path.join(_DIR, "formatlib.cpp")]
 _SRC = _SRCS[0]  # kept for older callers
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -131,6 +132,12 @@ def load() -> Optional[ctypes.CDLL]:
             u8p, ctypes.c_int64,                  # qname byte buffer
             i64p, i32p,                           # qname off/len
             i64p,                                 # partner (out)
+        ]
+        lib.miso_format_quantized.restype = ctypes.c_int64
+        lib.miso_format_quantized.argtypes = [
+            i64p, ctypes.c_int64, ctypes.c_int64,  # q, S, I
+            i64p, u8p,                             # cents, neg
+            u8p, i64p,                             # out, off
         ]
         _LIB = lib
         return _LIB
@@ -431,3 +438,23 @@ def pair_qnames(buf, qname_off, qname_len):
     if rc < 0:
         return None
     return partner
+
+
+def format_quantized(q: np.ndarray, cents: np.ndarray,
+                     neg: np.ndarray):
+    """Native .miso sample-block formatter (formatlib.cpp): quantized
+    psi ticks (S, I) + score centipoints (S,) -> (bytes, offsets) with
+    offsets[s] the start of line s.  None if the library is
+    unavailable (callers fall back to the numpy formatter)."""
+    lib = load()
+    if lib is None:
+        return None
+    q = np.ascontiguousarray(q, np.int64)
+    S, I = q.shape
+    cents = np.ascontiguousarray(cents, np.int64)
+    neg = np.ascontiguousarray(neg, np.uint8)
+    out = np.empty(S * (7 * int(I) + 30), np.uint8)
+    off = np.empty(S + 1, np.int64)
+    total = lib.miso_format_quantized(q.reshape(-1), S, I, cents, neg,
+                                      out, off)
+    return out[:total].tobytes(), off

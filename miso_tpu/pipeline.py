@@ -323,6 +323,7 @@ class StreamRunner:
             chains=cfg.chains, algorithm=cfg.algorithm)
         self.buckets: Dict[Tuple[int, int, int], Tuple[list, list]] = {}
         self.bucket_off: Dict[Tuple[int, int, int], int] = {}
+        self.bucket_chunks: Dict[Tuple[int, int, int], int] = {}
         self._pending: "queue_mod.Queue" = queue_mod.Queue(
             maxsize=self.MAX_PENDING)
         self._mat_err: list = []
@@ -340,17 +341,38 @@ class StreamRunner:
         evs, tags = self.buckets.setdefault(key, ([], []))
         evs.append(ev)
         tags.append(ev if tag is None else tag)
-        if len(evs) >= self.cfg.max_batch_events:
+        # progressive chunk sizing (512 -> 1024 -> 2048 -> max): the
+        # first chunks of a bucket dispatch early so device execution,
+        # transfer, and writes start while the host is still compiling
+        # -- a catalog smaller than max_batch_events otherwise pipelines
+        # nothing (its whole bucket flushed at finish).  Steady-state
+        # chunks stay at max_batch_events; the early shapes are
+        # powers of two already minted by the finish-flush slicing.
+        n_disp = self.bucket_chunks.get(key, 0)
+        thresh = min(self.cfg.max_batch_events,
+                     max(512 << n_disp, 1))
+        if len(evs) >= thresh:
             del self.buckets[key]
+            self.bucket_chunks[key] = n_disp + 1
             self._dispatch(key, evs, tags)
         self._check_err()
 
     def finish(self) -> None:
-        """Flush partial buckets, drain pending chunks, join threads."""
+        """Flush partial buckets, drain pending chunks, join threads.
+
+        Partial buckets flush in sub-chunks: a small catalog (or any
+        paired run under max_batch_events) otherwise lands in ONE
+        monolithic dispatch at finish, serializing device execution,
+        transfer, and writes that the streaming path overlaps.  Slices
+        pad to the same power-of-two shapes, and each dispatch consumes
+        its own PRNG chunk offset, so results stay deterministic for a
+        given catalog."""
+        step = max(256, self.cfg.max_batch_events // 8)
         for key in sorted(self.buckets):
             evs, tags = self.buckets[key]
-            if evs:
-                self._dispatch(key, evs, tags)
+            for lo in range(0, len(evs), step):
+                self._dispatch(key, evs[lo:lo + step],
+                               tags[lo:lo + step])
         self.buckets.clear()
         for _ in self._mat_threads:
             self._put(None)

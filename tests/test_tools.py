@@ -376,3 +376,39 @@ def test_text_sam_scale_warning(tmp_path, monkeypatch):
         warnings.simplefilter("always")
         sam_io.SamFile(str(p))
     assert not w
+
+
+def test_native_format_quantized_matches_numpy():
+    """The native .miso body formatter (native/formatlib.cpp) must be
+    byte-identical to the vectorized numpy formatter across sign,
+    magnitude, and isoform-count edges (including -0.00 scores and the
+    0/10000 tick extremes)."""
+    import numpy as np
+
+    from miso_tpu import native
+    from miso_tpu.io import miso_file
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(5)
+    for I in (1, 2, 3, 7):
+        S = 257
+        q = rng.integers(0, 10001, (S, I)).astype(np.int64)
+        q[0] = 0
+        q[1] = 10000
+        vals = rng.normal(-1000.0, 2000.0, S)
+        vals[2] = -0.004   # "-0.00"
+        vals[3] = 0.0
+        vals[4] = -123456789.12
+        cents = np.round(vals * 100.0).astype(np.int64)
+        neg = np.signbit(vals)
+        nat_blob, nat_off = native.format_quantized(q, cents, neg)
+        # numpy fallback path, forced by disabling the native fast path
+        import unittest.mock as mock
+        with mock.patch.object(native, "format_quantized",
+                               lambda *a: None):
+            ref_blob, ref_off = miso_file._format_quantized(
+                q, cents, neg, return_offsets=True)
+        assert nat_blob == ref_blob
+        np.testing.assert_array_equal(nat_off, ref_off)
