@@ -59,6 +59,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "(MISO_START_LINEAR, pysplicing/src/"
                         "miso.c:410-443; the reference exposes this "
                         "only through its C API).")
+    p.add_argument("--pack-output", dest="pack_output",
+                   action="store_true", default=False,
+                   help="Stream events into per-chromosome .miso_db "
+                        "sqlite files during the run (no .miso text "
+                        "tree, no miso_pack pass afterwards).")
     p.add_argument("--summary-only", dest="summary_only",
                    action="store_true", default=False,
                    help="Skip .miso sample files: compute posterior "
@@ -158,6 +163,7 @@ def main(argv=None) -> int:
         **({"stop": "convergent"} if args.convergent else {}),
         **({"start": "linear"} if args.linear_start else {}),
         summary_only=args.summary_only,
+        pack_output=args.pack_output,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     index_dir = os.path.abspath(os.path.expanduser(index_dir))

@@ -49,21 +49,118 @@ def output_samples_comparison(
     os.makedirs(bf_output_dir, exist_ok=True)
     output_filename = os.path.join(bf_output_dir, "%s.miso_bf" % pair)
 
+    # chunked, parallel-loaded, batch-computed: the per-event scalar
+    # loop (load two .miso files, fit per-isoform scalar KDEs) was the
+    # reference's shape (hypothesis_test.py:182-345) and bound
+    # catalog-scale comparisons by the text parse; here a thread pool
+    # overlaps the file loads and each chunk's KDE/CI/mean statistics
+    # compute in one numpy pass over stacked (E, N, I) tensors.
+    from concurrent.futures import ThreadPoolExecutor
+
     num_compared = 0
-    with open(output_filename, "w") as out:
+    names = sample1_obj.all_event_names
+    CHUNK = 512
+    with open(output_filename, "w") as out, \
+            ThreadPoolExecutor(max_workers=4) as pool:
         out.write("\t".join(BF_HEADER_FIELDS) + "\n")
-        for event_name in sample1_obj.all_event_names:
-            s1 = sample1_obj.get_event_samples(event_name)
-            if s1 is None:
-                continue
-            s2 = sample2_obj.get_event_samples(event_name)
-            if s2 is None:
-                continue
-            num_compared += 1
-            out.write("\t".join(
-                _comparison_fields(event_name, s1, s2, alpha)) + "\n")
+        for lo in range(0, len(names), CHUNK):
+            sub = names[lo:lo + CHUNK]
+            s1s = list(pool.map(sample1_obj.get_event_samples, sub))
+            s2s = list(pool.map(sample2_obj.get_event_samples, sub))
+            for fields in _comparison_rows(sub, s1s, s2s, alpha):
+                num_compared += 1
+                out.write("\t".join(fields) + "\n")
     print("Compared a total of %d events." % num_compared)
     return output_filename
+
+
+def _batch_ci(stack: np.ndarray, alpha: float):
+    """Chen-Shao order-statistic bounds for stacked samples (E, N, I)
+    -> (lo (E, I), hi (E, I)).  Same index arithmetic (and the same
+    loud small-n error) as stats/intervals.py."""
+    n = stack.shape[1]
+    a = 1 - alpha
+    lo = int(round((a / 2) * n)) - 1
+    hi = int(round((1 - a / 2) * n)) - 1
+    if lo <= 0 or hi <= 0:
+        raise ValueError("Too few samples for credible interval (n=%d)" % n)
+    srt = np.sort(stack, axis=1)
+    return srt[:, lo, :], srt[:, hi, :]
+
+
+def _comparison_rows(names, s1s, s2s, alpha: float):
+    """Comparison rows for one chunk, in input order.  Events sharing
+    (N1, N2, I) shapes batch through one numpy/KDE pass; odd shapes
+    (truncated files, isoform-count mismatches) fall back to the
+    scalar path, whose output the batch path matches byte-for-byte
+    (tests/test_differential.py)."""
+    from miso_tpu.stats.bayes import batch_bayes_factors
+
+    groups: dict = {}
+    rows: dict = {}
+    for j, (nm, s1, s2) in enumerate(zip(names, s1s, s2s)):
+        if s1 is None or s2 is None:
+            continue
+        if (s1.samples.shape[1] != s2.samples.shape[1]
+                or s1.samples.shape[0] < 2 or s2.samples.shape[0] < 2):
+            rows[j] = _comparison_fields(nm, s1, s2, alpha)
+            continue
+        groups.setdefault((s1.samples.shape, s2.samples.shape),
+                          []).append(j)
+    for idxs in groups.values():
+        A = np.stack([s1s[j].samples for j in idxs])
+        B = np.stack([s2s[j].samples for j in idxs])
+        bf = batch_bayes_factors(A, B)
+        mean1, mean2 = A.mean(axis=1), B.mean(axis=1)
+        lo1, hi1 = _batch_ci(A, alpha)
+        lo2, hi2 = _batch_ci(B, alpha)
+        for t, j in enumerate(idxs):
+            rows[j] = _fields_from_stats(
+                names[j], s1s[j], s2s[j], mean1[t], lo1[t], hi1[t],
+                mean2[t], lo2[t], hi2[t], bf[t])
+    return [rows[j] for j in sorted(rows)]
+
+
+def _ci_fields(event_name: str, mean, lo, hi, num_iso: int) -> List[str]:
+    """format_credible_intervals' output from precomputed statistics
+    (misopy/credible_intervals.py:4-28 formatting rules)."""
+    if num_iso > 2:
+        return [event_name, ",".join("%.2f" % v for v in mean),
+                ",".join("%.2f" % v for v in lo),
+                ",".join("%.2f" % v for v in hi)]
+    return [event_name, "%.2f" % mean[0], "%.2f" % lo[0],
+            "%.2f" % hi[0]]
+
+
+def _fields_from_stats(event_name, s1, s2, mean1, lo1, hi1,
+                       mean2, lo2, hi2, bf) -> List[str]:
+    """One .miso_bf row from batch-computed statistics; field-for-field
+    the same construction as _comparison_fields below."""
+    num_isoforms = s1.samples.shape[1]
+    ci1 = _ci_fields(event_name, mean1, lo1, hi1, num_isoforms)
+    ci2 = _ci_fields(event_name, mean2, lo2, hi2, num_isoforms)
+    if num_isoforms == 2:
+        m1 = Decimal(str(mean1[0])).quantize(Decimal("0.01"))
+        m2 = Decimal(str(mean2[0])).quantize(Decimal("0.01"))
+        posterior_diff = "%.2f" % (m1 - m2)
+        bayes_factor = "%.2f" % bf[0]
+        mean1_str, mean2_str = str(m1), str(m2)
+    else:
+        posterior_diff = ",".join("%.2f" % v for v in (mean1 - mean2))
+        bayes_factor = ",".join("%.2f" % max(v, 0) for v in bf)
+        mean1_str, mean2_str = ci1[1], ci2[1]
+    gene_info = get_gene_info_from_params(s1.params)
+    return [
+        event_name,
+        mean1_str, ci1[2], ci1[3],
+        mean2_str, ci2[2], ci2[3],
+        posterior_diff, bayes_factor,
+        get_isoforms_from_header(s1.header),
+        s1.counts_info["counts"], s1.counts_info["assigned_counts"],
+        s2.counts_info["counts"], s2.counts_info["assigned_counts"],
+        gene_info["chrom"], gene_info["strand"],
+        gene_info["mRNA_starts"], gene_info["mRNA_ends"],
+    ]
 
 
 def _comparison_fields(event_name: str, s1, s2, alpha: float) -> List[str]:

@@ -105,6 +105,75 @@ def load_miso_file_as_str(miso_filename: str):
     return header, "".join(lines[2:])
 
 
+class DirectPacker:
+    """Stream events into per-chromosome `.miso_db` files DURING the
+    run (`miso --run --pack-output`): when the user wants packed
+    output, writing a multi-GB .miso text tree and then re-reading it
+    with `miso_pack` (misopy/miso_pack.py:29-79) is pure waste.  The
+    sqlite schema matches miso_dir_to_db exactly, so MISOSamples and
+    every downstream tool read the result unchanged.
+
+    Thread-safe: the pipeline's write pool calls add() concurrently;
+    inserts buffer per chromosome and flush with executemany under one
+    lock.  Events already present in an existing database are exposed
+    via `done_names` so resumed runs skip them (the packed analogue of
+    the .miso skip-if-exists rule, miso_sampler.py:234-238)."""
+
+    FLUSH_EVERY = 256
+
+    def __init__(self, output_dir: str):
+        import threading
+        self.output_dir = output_dir
+        self.lock = threading.Lock()
+        self.conns: Dict[str, sqlite3.Connection] = {}
+        self.pending: Dict[str, list] = {}
+        self.done_names: set = set()
+        os.makedirs(output_dir, exist_ok=True)
+        for db in glob.glob(os.path.join(output_dir, "*" + MISO_DB_EXT)):
+            chrom = get_table_name_from_file(db)
+            conn = self._open(chrom)
+            for (nm,) in conn.execute(
+                    "SELECT event_name from table_%s" % chrom):
+                self.done_names.add(str(nm))
+
+    def _open(self, chrom: str) -> sqlite3.Connection:
+        conn = self.conns.get(chrom)
+        if conn is None:
+            path = os.path.join(self.output_dir, chrom + MISO_DB_EXT)
+            conn = sqlite3.connect(path, check_same_thread=False)
+            conn.execute(
+                "CREATE TABLE IF NOT EXISTS table_%s "
+                "(event_name text, psi_vals_and_scores text, header text)"
+                % chrom)
+            self.conns[chrom] = conn
+            self.pending[chrom] = []
+        return conn
+
+    def add(self, chrom: Optional[str], event_name: str, header: str,
+            body: str) -> None:
+        chrom = chrom if chrom else "NA"
+        with self.lock:
+            self._open(chrom)
+            self.pending[chrom].append((event_name, body, header))
+            if len(self.pending[chrom]) >= self.FLUSH_EVERY:
+                self._flush(chrom)
+
+    def _flush(self, chrom: str) -> None:
+        rows = self.pending[chrom]
+        if rows:
+            self.conns[chrom].executemany(
+                "INSERT INTO table_%s VALUES (?, ?, ?)" % chrom, rows)
+            self.pending[chrom] = []
+
+    def finish(self) -> None:
+        with self.lock:
+            for chrom, conn in self.conns.items():
+                self._flush(chrom)
+                conn.commit()
+                conn.close()
+            self.conns.clear()
+
+
 def miso_dir_to_db(dir_to_compress: str,
                    output_filename: str) -> Optional[str]:
     """Pack one directory of `.miso` files into one `.miso_db`

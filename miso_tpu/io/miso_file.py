@@ -45,6 +45,31 @@ def assigned_counts_str(final_n: np.ndarray, num_iso: int) -> str:
                     for i in range(num_iso))
 
 
+def event_header_str(event: CompiledEvent, iters: int, burn_in: int,
+                     lag: int, percent_accept: float,
+                     final_n: np.ndarray,
+                     proposal_type: str = "drift") -> str:
+    """The `.miso` header line (field order:
+    misopy/miso_sampler.py:444-455); shared by the file writer and the
+    direct sqlite packer."""
+    gene = event.gene
+    chrom = gene.chrom if gene.chrom is not None else "NA"
+    strand = gene.strand if gene.strand is not None else "NA"
+    mrna_starts = ",".join(
+        str(gene.iso_genomic_span(i)[0]) for i in range(gene.num_isoforms))
+    mrna_ends = ",".join(
+        str(gene.iso_genomic_span(i)[1]) for i in range(gene.num_isoforms))
+    return (
+        "#isoforms=%s\texon_lens=%s\titers=%d\tburn_in=%d\tlag=%d\t"
+        "percent_accept=%.2f\tproposal_type=%s\t"
+        "counts=%s\tassigned_counts=%s\tchrom=%s\tstrand=%s\t"
+        "mRNA_starts=%s\tmRNA_ends=%s\n"
+        % (isoforms_str(gene), exon_lens_str(gene), iters, burn_in, lag,
+           percent_accept, proposal_type, event.counts_str(),
+           assigned_counts_str(final_n, event.num_iso), chrom, strand,
+           mrna_starts, mrna_ends))
+
+
 def write_miso_file(
     output_file: str,
     event: CompiledEvent,
@@ -66,22 +91,8 @@ def write_miso_file(
     sample values (the pipeline's device fetch payload is quantized to
     exactly the output precision); the float arrays are then not
     touched, skipping a full re-quantization pass per event."""
-    gene = event.gene
-    chrom = gene.chrom if gene.chrom is not None else "NA"
-    strand = gene.strand if gene.strand is not None else "NA"
-    mrna_starts = ",".join(
-        str(gene.iso_genomic_span(i)[0]) for i in range(gene.num_isoforms))
-    mrna_ends = ",".join(
-        str(gene.iso_genomic_span(i)[1]) for i in range(gene.num_isoforms))
-    header = (
-        "#isoforms=%s\texon_lens=%s\titers=%d\tburn_in=%d\tlag=%d\t"
-        "percent_accept=%.2f\tproposal_type=%s\t"
-        "counts=%s\tassigned_counts=%s\tchrom=%s\tstrand=%s\t"
-        "mRNA_starts=%s\tmRNA_ends=%s\n"
-        % (isoforms_str(gene), exon_lens_str(gene), iters, burn_in, lag,
-           percent_accept, proposal_type, event.counts_str(),
-           assigned_counts_str(final_n, event.num_iso), chrom, strand,
-           mrna_starts, mrna_ends))
+    header = event_header_str(event, iters, burn_in, lag, percent_accept,
+                              final_n, proposal_type)
     d = os.path.dirname(os.path.abspath(output_file))
     if d not in _made_dirs:  # one makedirs syscall per directory, not per event
         os.makedirs(d, exist_ok=True)

@@ -76,6 +76,10 @@ class RunConfig:
     # chip -- the TPU-first replacement for run-then-summarize
     # (misopy/samples_utils.py:263-329 re-reads every .miso file)
     summary_only: bool = False
+    # stream events into per-chromosome .miso_db sqlite DURING the run
+    # instead of writing the .miso text tree and re-packing it with
+    # miso_pack afterwards (misopy/miso_pack.py:29-79)
+    pack_output: bool = False
 
     @classmethod
     def from_settings(cls, settings: Settings, read_len: int, **kw):
@@ -788,14 +792,13 @@ def _write_event(output_dir: str, cfg: RunConfig, ev: CompiledEvent,
         psi_ticks=ticks, score_cents=cents, body=body)
 
 
-def _write_events_batch(output_dir: str, cfg: RunConfig, evs, results
-                        ) -> int:
-    """Write a slice of a chunk's events, batch-formatting the sample
-    bodies: ONE _format_quantized call covers every same-isoform-count
-    event in the slice (per-event numpy formatting overhead -- ~20 small
-    array ops each -- dominated the write phase at catalog scale).
-    Events without the quantized payload (convergent results, wide-score
-    fallbacks) write through the per-event path."""
+def _iter_bodies(evs, results):
+    """(ev, res, body-or-None) for a chunk slice, batch-formatting the
+    sample bodies: ONE _format_quantized call covers every
+    same-isoform-count event in the slice (per-event numpy formatting
+    overhead -- ~20 small array ops each -- dominated the write phase
+    at catalog scale).  Events without the quantized payload
+    (convergent results, wide-score fallbacks) yield body=None."""
     from miso_tpu.io.miso_file import _format_quantized
 
     groups: Dict[Tuple[int, int], list] = {}
@@ -810,20 +813,55 @@ def _write_events_batch(output_dir: str, cfg: RunConfig, evs, results
                 (ev, res))
         else:
             rest.append((ev, res))
-    written = 0
     for (k, S), items in groups.items():
         T = np.stack([r["psi_ticks"] for _, r in items]
                      ).astype(np.int64).reshape(-1, k)
         C = np.stack([r["score_cents"] for _, r in items]).reshape(-1)
         blob, off = _format_quantized(T, C, C < 0, return_offsets=True)
         for j, (ev, res) in enumerate(items):
-            _write_event(output_dir, cfg, ev, res,
-                         body=blob[off[j * S]:off[(j + 1) * S]])
-            written += 1
+            yield ev, res, blob[off[j * S]:off[(j + 1) * S]]
     for ev, res in rest:
-        _write_event(output_dir, cfg, ev, res)
+        yield ev, res, None
+
+
+def _write_events_batch(output_dir: str, cfg: RunConfig, evs, results
+                        ) -> int:
+    written = 0
+    for ev, res, body in _iter_bodies(evs, results):
+        _write_event(output_dir, cfg, ev, res, body=body)
         written += 1
     return written
+
+
+def _pack_events_batch(packer, cfg: RunConfig, evs, results) -> int:
+    """Stream a chunk slice straight into per-chromosome sqlite
+    (`--pack-output`): same header/body bytes as the .miso writer, no
+    text tree, no re-pack pass.  Ref: misopy/miso_db.py:144-193."""
+    from miso_tpu.io.miso_file import (_format_quantized,
+                                       _format_sample_block,
+                                       event_header_str)
+
+    n = 0
+    for ev, res, body in _iter_bodies(evs, results):
+        if body is None:
+            t = res.get("psi_ticks")
+            c = res.get("score_cents")
+            if t is not None and c is not None:
+                cents = np.asarray(c, np.int64)
+                body = _format_quantized(np.asarray(t, np.int64),
+                                         cents, cents < 0)
+            else:
+                body = _format_sample_block(
+                    np.asarray(res["samples"], np.float64),
+                    np.asarray(res["loglik"], np.float64))
+        header = (event_header_str(
+            ev, res.get("iters", cfg.iters),
+            res.get("burn_in", cfg.burn_in), cfg.lag,
+            res["percent_accept"], res["final_n"])
+            + "sampled_psi\tlog_score\n")
+        packer.add(ev.gene.chrom, ev.name, header, body.decode())
+        n += 1
+    return n
 
 
 def write_event_results(
@@ -859,13 +897,16 @@ class _CompileStream:
     """
 
     def __init__(self, items, alignments, cfg: RunConfig, output_dir: str,
-                 verbose: bool, emit, workers: int = 1):
+                 verbose: bool, emit, workers: int = 1, done=None):
         self.items = items
         self.alignments = alignments
         self.cfg = cfg
         self.output_dir = output_dir
         self.verbose = verbose
         self.emit = emit
+        # event names already present in packed output (--pack-output
+        # resume); the .miso skip rule checks the filesystem instead
+        self.done = done
         # the settings num_processors knob (settings.py:148), applied to
         # the PER-GENE fallback only: the native batch path is faster
         # single-threaded (one C call per chromosome), but non-native
@@ -1046,7 +1087,8 @@ class _CompileStream:
             # --use-compressed)
             out_name = entry.get("compressed_id") or gene_id
             out_path = event_output_path(self.output_dir, gene, out_name)
-            if os.path.isfile(out_path):
+            if os.path.isfile(out_path) or (self.done is not None
+                                            and out_name in self.done):
                 if self.verbose:
                     print("Output filename %s exists, not running MISO."
                           % out_path)
@@ -1253,12 +1295,21 @@ def compute_all_genes_psi(
     # text re-parse at 50k events becomes a no-op
     from miso_tpu.io.miso_file import summary_row_fields
     summary_rows: Dict[str, str] = {}
+    packer = None
+    if cfg.pack_output and not cfg.summary_only:
+        from miso_tpu.io.miso_db import DirectPacker
+        packer = DirectPacker(output_dir)
 
     def on_chunk(evs, results):
         # slices of ~512 events per pool task: each batch-formats its
         # sample bodies in one vectorized pass (see _write_events_batch)
         with write_lock:
-            if not cfg.summary_only:
+            if packer is not None:
+                for lo in range(0, len(evs), 512):
+                    write_futures.append(write_pool.submit(
+                        _pack_events_batch, packer, cfg,
+                        evs[lo:lo + 512], results[lo:lo + 512]))
+            elif not cfg.summary_only:
                 for lo in range(0, len(evs), 512):
                     write_futures.append(write_pool.submit(
                         _write_events_batch, output_dir, cfg,
@@ -1297,7 +1348,8 @@ def compute_all_genes_psi(
             or _native.load() is None):
         workers = settings.get_num_processors() or 1
     stream = _CompileStream(items, alignments, cfg, output_dir, verbose,
-                            emit=ev_queue.put, workers=workers)
+                            emit=ev_queue.put, workers=workers,
+                            done=packer.done_names if packer else None)
 
     def produce():
         t = time.time()
@@ -1356,6 +1408,8 @@ def compute_all_genes_psi(
     for f in write_futures:
         written += f.result()
     write_pool.shutdown()
+    if packer is not None:
+        packer.finish()
     if summary_rows:
         from miso_tpu.io.miso_file import write_summary_file
         label = os.path.basename(os.path.normpath(output_dir))

@@ -73,6 +73,42 @@ def compute_bayes_factors(samples1: np.ndarray,
     return out
 
 
+def batch_bayes_factors(samples1: np.ndarray,
+                        samples2: np.ndarray) -> np.ndarray:
+    """Vectorized Bayes factors for E events at once: samples1 (E, N1, I)
+    vs samples2 (E, N2, I) -> (E, I).
+
+    One numpy pass over the (E, n, I) delta tensor replaces the
+    per-event, per-isoform scalar KDE loop (compute_bayes_factors);
+    the op order replicates kde_density_at /
+    posterior_density_at_zero / compute_bayes_factor_from_density
+    exactly (same elementwise expressions, same pairwise axis
+    reductions), so results match the scalar path bitwise
+    (tests/test_differential.py pins row-level equality).
+    Ref: misopy/hypothesis_test.py:41-65,89-179,348-380."""
+    samples1 = np.asarray(samples1, np.float64)
+    samples2 = np.asarray(samples2, np.float64)
+    n = min(samples1.shape[1], samples2.shape[1])
+    diff = samples1[:, :n] - samples2[:, :n]          # (E, n, I)
+    mean_abs = np.abs(diff).mean(axis=1)              # (E, I)
+    all_same = np.all(diff == diff[:, :1], axis=1)    # (E, I)
+    null = (mean_abs <= NULL_PEAK_THRESHOLD) | all_same
+    var = diff.var(axis=1, ddof=1)
+    cov = var * SMOOTHING_PARAM * SMOOTHING_PARAM
+    # cov <= 0 implies all_same (var == 0), already routed to null;
+    # the substitute value only avoids the division warning
+    safe_cov = np.where(cov > 0, cov, 1.0)[:, None, :]
+    z = -diff  # point (0) minus samples, as kde_density_at computes
+    with np.errstate(under="ignore"):
+        dens = (np.exp(-0.5 * z * z / safe_cov).sum(axis=1)
+                / (n * np.sqrt(2 * np.pi * safe_cov[:, 0, :])))
+    with np.errstate(divide="ignore"):
+        bf = np.where(dens > 0, np.minimum(
+            np.divide(1.0, np.where(dens > 0, dens, 1.0)), MAX_BF),
+            MAX_BF)
+    return np.where(null, 0.0, bf)
+
+
 def triangular_prior_density(x: np.ndarray) -> np.ndarray:
     """Analytic prior on delta: 1+x for x<=0 else 1-x
     (hypothesis_test.py:105)."""

@@ -82,3 +82,61 @@ def test_bayes_factors_separate_changed_events(tmp_path):
         fdir, "s1_out_vs_s2_out.miso_bf.filtered")).read().splitlines()
     kept = {l.split("\t")[0] for l in lines[1:]}
     assert kept == {"ev%d" % e for e in range(6)}, kept
+
+
+def test_batch_comparison_matches_scalar_rows():
+    """The chunked/batched comparison path (stacked-tensor KDE + order
+    statistics) must produce byte-identical .miso_bf rows to the
+    per-event scalar path (_comparison_fields) -- including multi-
+    isoform events, null self-comparison, and degenerate posteriors."""
+    import numpy as np
+
+    from miso_tpu.io.comparison import (_comparison_fields,
+                                        _comparison_rows)
+    from miso_tpu.io.miso_file import MISOFileData
+
+    rng = np.random.default_rng(9)
+
+    def fake(nm, samples):
+        samples = np.asarray(samples, np.float64)
+        header = ("#isoforms=['a','b']\tcounts=(1,0):5\t"
+                  "assigned_counts=0:3,1:2\tchrom=chr1\tstrand=+\t"
+                  "mRNA_starts=1,1\tmRNA_ends=9,9")
+        from miso_tpu.io.miso_file import (
+            get_counts_from_header, parse_sampler_params_from_header)
+        return MISOFileData(
+            samples=samples, header=header,
+            log_scores=np.zeros(len(samples)),
+            sampled_map=list(samples[0]), sampled_map_log_score=0.0,
+            counts_info=get_counts_from_header(header),
+            params=parse_sampler_params_from_header(header))
+
+    names, s1s, s2s = [], [], []
+    for e in range(40):  # 2-isoform events, various separations
+        c1 = np.clip(rng.beta(8, 4, 200), 1e-4, 1 - 1e-4)
+        shift = [0.0, 0.3, 0.003][e % 3]
+        c2 = np.clip(rng.beta(8, 4, 200) - shift, 1e-4, 1 - 1e-4)
+        names.append("e%d" % e)
+        s1s.append(fake(names[-1], np.stack([c1, 1 - c1], axis=1)))
+        s2s.append(fake(names[-1], np.stack([c2, 1 - c2], axis=1)))
+    for e in range(12):  # 3-isoform events (csv branches)
+        a = rng.dirichlet([4, 3, 2], 200)
+        b = rng.dirichlet([2, 3, 4], 200)
+        names.append("m%d" % e)
+        s1s.append(fake(names[-1], a))
+        s2s.append(fake(names[-1], b))
+    # degenerate: identical samples (all_same -> BF 0.0)
+    names.append("null")
+    s1s.append(fake("null", s1s[0].samples))
+    s2s.append(fake("null", s1s[0].samples))
+    # shape mismatch falls back to scalar
+    names.append("ragged")
+    s1s.append(fake("ragged", s1s[0].samples[:150]))
+    s2s.append(fake("ragged", s2s[0].samples))
+
+    batch = _comparison_rows(names, s1s, s2s, 0.95)
+    scalar = [_comparison_fields(nm, a, b, 0.95)
+              for nm, a, b in zip(names, s1s, s2s)]
+    assert len(batch) == len(scalar)
+    for got, want in zip(batch, scalar):
+        assert got == want, (got, want)

@@ -77,3 +77,53 @@ def test_graft_entry_dryrun_pipeline_path():
     finally:
         sys.path.pop(0)
     ge.dryrun_multichip(8)
+
+
+def test_event_dp_scaling_curve():
+    """Hermetic evidence for linear event-DP scaling (SURVEY.md section 2c):
+    (1) sharding the same catalog over a growing mesh adds no overhead
+    (no collectives in the run path), and (2) the per-device program of
+    an N-chip pod member -- the sampler on E/N events -- costs ~1/N,
+    so N chips give ~N-fold throughput.  On this shared-core CPU host
+    (all virtual devices share the host's cores) (1) is the flat-wall
+    check and (2) the scaling assertion."""
+    import time
+
+    from miso_tpu.parallel.mesh import run_batch_sharded
+    from miso_tpu.sampler.mcmc import EventBatch, SamplerConfig, run_batch
+    from miso_tpu.core.events import pad_events
+    from jax.sharding import Mesh
+
+    events = _demo_events(256, seed=9)
+    pad = pad_events(events, pad_iso=3, pad_reads=160)
+    batch = EventBatch(**{k: np.asarray(v) for k, v in pad.items()})
+    cfg = SamplerConfig(iters=200, burn_in=50, lag=5, chains=2)
+    key = jax.random.PRNGKey(0)
+    devices = jax.devices()
+
+    def timed(fn, reps=3):
+        fn()
+        best = float("inf")
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            fn()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    # (1) same catalog, growing mesh: wall must not grow materially
+    walls = {}
+    for n in (1, 8):
+        mesh = Mesh(np.array(devices[:n]), ("ev",))
+        walls[n] = timed(lambda mesh=mesh: jax.block_until_ready(
+            run_batch_sharded(key, batch, cfg, mesh=mesh,
+                              backend="xla").accepted))
+    assert walls[8] < walls[1] * 1.6, walls
+
+    # (2) per-shard program: E/8 events must run >= ~3.5x faster than E
+    sub = EventBatch(*(np.asarray(a)[:32] for a in batch))
+    t_full = timed(lambda: jax.block_until_ready(
+        run_batch(key, batch, cfg).accepted))
+    t_shard = timed(lambda: jax.block_until_ready(
+        run_batch(key, sub, cfg).accepted))
+    speedup = t_full / t_shard
+    assert speedup >= 3.5, (t_full, t_shard, speedup)

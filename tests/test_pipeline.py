@@ -497,3 +497,60 @@ def test_run_integrated_summary(tmp_path):
         assert fa[2:] == fb[2:]
         if fa[0] != "event_name":
             assert abs(float(fa[1]) - float(fb[1])) <= 0.011
+
+
+def test_pack_output_direct(tmp_path, capsys):
+    """`miso --run --pack-output` streams events into per-chromosome
+    .miso_db sqlite during the run: no .miso text tree, every event
+    reads back through MISOSamples byte-identical to a text run with
+    the same seed, and a resumed run skips the packed events."""
+    import glob as glob_mod
+
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.io.miso_file import MISOSamples
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "fix"), num_events=20,
+                                reads_per_event=150, seed=23)
+    settings = tmp_path / "settings.txt"
+    settings.write_text(FAST_SETTINGS)
+    index_dir = str(tmp_path / "index")
+    assert index_main(["--index", fix["gff"], index_dir]) == 0
+    base = ["--run", index_dir, fix["bam"], "--read-len",
+            str(fix["read_len"]), "--settings-filename", str(settings)]
+    text_dir = str(tmp_path / "text_out")
+    assert miso_main(base + ["--output-dir", text_dir]) == 0
+    pack_dir = str(tmp_path / "pack_out")
+    assert miso_main(base + ["--output-dir", pack_dir,
+                             "--pack-output"]) == 0
+    # no text tree; per-chromosome .miso_db files exist
+    assert glob_mod.glob(os.path.join(pack_dir, "*", "*.miso")) == []
+    assert glob_mod.glob(os.path.join(pack_dir, "*.miso_db"))
+    text_obj = MISOSamples(text_dir)
+    pack_obj = MISOSamples(pack_dir)
+    assert sorted(pack_obj.all_event_names) == \
+        sorted(text_obj.all_event_names)
+    for nm in text_obj.all_event_names:
+        a = text_obj.get_event_samples(nm)
+        b = pack_obj.get_event_samples(nm)
+        assert b is not None
+        assert a.header == b.header
+        np.testing.assert_array_equal(a.samples, b.samples)
+        np.testing.assert_array_equal(a.log_scores, b.log_scores)
+    # the run summaries agree too
+    with open(os.path.join(text_dir, "summary",
+                           "text_out.miso_summary")) as f:
+        t = sorted(l.split("\t", 1)[1] for l in f.read().splitlines())
+    with open(os.path.join(pack_dir, "summary",
+                           "pack_out.miso_summary")) as f:
+        p = sorted(l.split("\t", 1)[1] for l in f.read().splitlines())
+    assert t == p
+    # resume: all 20 packed events are skipped, none duplicated
+    capsys.readouterr()
+    assert miso_main(base + ["--output-dir", pack_dir,
+                             "--pack-output"]) == 0
+    assert "exists, not running" in capsys.readouterr().out
+    pack_obj2 = MISOSamples(pack_dir)
+    assert sorted(pack_obj2.all_event_names) == \
+        sorted(text_obj.all_event_names)
