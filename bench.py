@@ -144,6 +144,30 @@ def run_e2e_paired(num_genes: int, verbose: bool = False) -> float:
     return vals
 
 
+def run_compare(num_genes: int) -> float:
+    """Catalog-scale differential comparison: time compare_miso's
+    engine (io/comparison.py, chunked loads + batched KDE/CI stats)
+    over the cached e2e catalog's output vs itself.  Returns events/s.
+    Ref: misopy/hypothesis_test.py:182-345."""
+    import shutil
+
+    cache = os.environ.get("MISO_E2E_DIR", "/tmp/miso_e2e_bench")
+    fixdir = os.path.join(cache, "cat%d" % num_genes)
+    out = os.path.join(fixdir, "out")
+    if not os.path.isdir(out):
+        run_e2e(num_genes, timed_runs=1)  # builds + leaves the out tree
+    from miso_tpu.io.comparison import output_samples_comparison
+    cmp_dir = os.path.join(fixdir, "cmp")
+    best = 0.0
+    for _ in range(2):
+        shutil.rmtree(cmp_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        output_samples_comparison(out, out, cmp_dir)
+        dt = time.perf_counter() - t0
+        best = max(best, num_genes / dt)
+    return best
+
+
 def _best_median(vals):
     vals = sorted(vals)
     return (round(vals[-1], 2),
@@ -249,6 +273,16 @@ if __name__ == "__main__":
             "median": median,
             "unit": "events/s (paired BAM -> .miso, 5000 iters x 6 chains)",
             "vs_baseline": round(best / 1e4, 4),
+        }))
+    elif "--compare" in sys.argv:
+        sys.argv.remove("--compare")
+        n = int(sys.argv[1]) if len(sys.argv) > 1 else 10000
+        eps = run_compare(n)
+        print(json.dumps({
+            "metric": "compare_events_per_s",
+            "value": round(eps, 2),
+            "unit": "events/s (two-sample .miso_bf differential)",
+            "vs_baseline": round(eps / 1e4, 4),
         }))
     elif "--e2e-summary" in sys.argv:
         sys.argv.remove("--e2e-summary")

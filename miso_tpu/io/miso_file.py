@@ -263,12 +263,35 @@ def get_counts_from_header(header: str) -> Dict[str, str]:
     return {"counts": "n/a", "assigned_counts": "n/a"}
 
 
+def _miso_file_data(header: str, samples: np.ndarray,
+                    scores: np.ndarray) -> MISOFileData:
+    map_idx = int(np.argmax(samples[:, 0]))
+    return MISOFileData(
+        samples=samples, header=header, log_scores=scores,
+        sampled_map=[float(v) for v in samples[map_idx]],
+        sampled_map_log_score=float(scores[map_idx]),
+        counts_info=get_counts_from_header(header),
+        params=parse_sampler_params_from_header(header),
+    )
+
+
 def load_miso_file(source) -> Optional[MISOFileData]:
     """Parse a .miso file (path, or iterable of lines).
     Ref: samples_utils.py:130-156."""
     if isinstance(source, str):
-        with open(source) as f:
-            lines = f.readlines()
+        # hot path: native sample-block parse (parselib.cpp) -- releases
+        # the GIL, so summarize/compare thread pools use real cores
+        from miso_tpu import native
+        with open(source, "rb") as f:
+            data = f.read()
+        i1 = data.find(b"\n")
+        i2 = data.find(b"\n", i1 + 1) if i1 >= 0 else -1
+        if i2 >= 0:
+            parsed = native.parse_samples(data[i2 + 1:])
+            if parsed is not None:
+                header = data[:i1].decode("utf-8", "replace").rstrip("\r")
+                return _miso_file_data(header, *parsed)
+        lines = data.decode("utf-8", "replace").splitlines(keepends=True)
     else:
         lines = [l for l in source]
     if len(lines) < 3:
@@ -290,8 +313,14 @@ def load_miso_file(source) -> Optional[MISOFileData]:
                                  ).reshape(-1, ncols)
                 # ragged files with compensating missing/extra fields
                 # can still divide evenly; require one parsed row per
-                # non-empty sample line before trusting the bulk parse
-                n_lines = sum(1 for l in lines[2:] if l.strip())
+                # sample line before trusting the bulk parse.  Only
+                # TRAILING blanks are discounted (a full per-line strip
+                # pass halved catalog-scale load throughput); interior
+                # blank lines mismatch and take the per-line fallback,
+                # which handles them.
+                n_lines = len(lines) - 2
+                while n_lines > 0 and not lines[2 + n_lines - 1].strip():
+                    n_lines -= 1
                 if len(arr) == n_lines:
                     samples = arr[:, :-1]
                     scores = arr[:, -1]
@@ -314,14 +343,7 @@ def load_miso_file(source) -> Optional[MISOFileData]:
             return None
         samples = np.array(samples)
         scores = np.array(scores)
-    map_idx = int(np.argmax(samples[:, 0]))
-    return MISOFileData(
-        samples=samples, header=header, log_scores=scores,
-        sampled_map=[float(v) for v in samples[map_idx]],
-        sampled_map_log_score=float(scores[map_idx]),
-        counts_info=get_counts_from_header(header),
-        params=parse_sampler_params_from_header(header),
-    )
+    return _miso_file_data(header, samples, scores)
 
 
 def get_gene_info_from_params(params: Dict[str, str]) -> Dict[str, str]:

@@ -19,7 +19,8 @@ import numpy as np
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRCS = [os.path.join(_DIR, "matchlib.cpp"),
          os.path.join(_DIR, "bamlib.cpp"),
-         os.path.join(_DIR, "formatlib.cpp")]
+         os.path.join(_DIR, "formatlib.cpp"),
+         os.path.join(_DIR, "parselib.cpp")]
 _SRC = _SRCS[0]  # kept for older callers
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
@@ -138,6 +139,12 @@ def load() -> Optional[ctypes.CDLL]:
             i64p, ctypes.c_int64, ctypes.c_int64,  # q, S, I
             i64p, u8p,                             # cents, neg
             u8p, i64p,                             # out, off
+        ]
+        lib.miso_parse_samples.restype = ctypes.c_int64
+        lib.miso_parse_samples.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64,       # buf
+            f64p, ctypes.c_int64,                  # out, max_vals
+            ctypes.POINTER(ctypes.c_int64),        # ncols
         ]
         _LIB = lib
         return _LIB
@@ -458,3 +465,24 @@ def format_quantized(q: np.ndarray, cents: np.ndarray,
     total = lib.miso_format_quantized(q.reshape(-1), S, I, cents, neg,
                                       out, off)
     return out[:total].tobytes(), off
+
+
+def parse_samples(data: bytes):
+    """Native .miso sample-block parser (parselib.cpp): the bytes AFTER
+    the two header lines -> (samples (S, I), scores (S,)) float64.
+    Releases the GIL, so catalog-scale summarize/compare loads scale
+    across threads.  None if the library is unavailable or the block
+    is ragged/malformed (callers use the Python parser then)."""
+    lib = load()
+    if lib is None or not data:
+        return None
+    max_vals = len(data) // 2 + 8
+    out = np.empty(max_vals, np.float64)
+    ncols = ctypes.c_int64(0)
+    n = lib.miso_parse_samples(data, len(data), out, max_vals,
+                               ctypes.byref(ncols))
+    nc = int(ncols.value)
+    if n <= 0 or nc < 2 or n % nc:
+        return None
+    arr = out[:n].reshape(-1, nc)
+    return arr[:, :-1].copy(), arr[:, -1].copy()

@@ -412,3 +412,51 @@ def test_native_format_quantized_matches_numpy():
                 q, cents, neg, return_offsets=True)
         assert nat_blob == ref_blob
         np.testing.assert_array_equal(nat_off, ref_off)
+
+
+def test_native_parse_samples_matches_python():
+    """parselib.cpp must produce bitwise the same samples/scores as the
+    Python .miso parser, and malformed/ragged bodies must fall back."""
+    import numpy as np
+
+    from miso_tpu import native
+    from miso_tpu.io import miso_file
+
+    if native.load() is None:
+        import pytest
+        pytest.skip("native library unavailable")
+    rng = np.random.default_rng(3)
+    body_lines = []
+    S, I = 301, 3
+    psi = rng.dirichlet([3, 2, 1], S)
+    scores = rng.normal(-5000, 3000, S)
+    exact = []
+    for s in range(S):
+        cells = ["%.4f" % v for v in psi[s]]
+        sc = "%.2f" % scores[s]
+        body_lines.append(",".join(cells) + "\t" + sc)
+        exact.append([float(c) for c in cells] + [float(sc)])
+    exact = np.asarray(exact)
+    content = ("#isoforms=['a','b','c']\tcounts=(1,0,0):5\t"
+               "assigned_counts=0:5\nsampled_psi\tlog_score\n"
+               + "\n".join(body_lines) + "\n")
+    import tempfile
+    with tempfile.NamedTemporaryFile("w", suffix=".miso",
+                                     delete=False) as f:
+        f.write(content)
+        path = f.name
+    got = miso_file.load_miso_file(path)
+    np.testing.assert_array_equal(got.samples, exact[:, :I])
+    np.testing.assert_array_equal(got.log_scores, exact[:, I])
+    # python path on the same lines must agree bitwise
+    ref = miso_file.load_miso_file(content.splitlines(keepends=True))
+    np.testing.assert_array_equal(got.samples, ref.samples)
+    np.testing.assert_array_equal(got.log_scores, ref.log_scores)
+    assert got.sampled_map == ref.sampled_map
+    # ragged body (second line short one psi field): native refuses
+    bad_lines = list(body_lines)
+    bad_lines[1] = bad_lines[1].split(",", 1)[1]
+    assert native.parse_samples(
+        ("\n".join(bad_lines) + "\n").encode()) is None
+    # junk token: native refuses
+    assert native.parse_samples(b"0.1234,abc\t-1.00\n") is None
