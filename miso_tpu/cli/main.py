@@ -53,6 +53,15 @@ def build_parser() -> argparse.ArgumentParser:
                         "3*iters - 2*burn_in (pysplicing/src/"
                         "miso.c:903-928); equivalent to settings "
                         "[sampler] stop = convergent.")
+    p.add_argument("--convergent-growth", dest="convergent_growth",
+                   type=float, default=2.0, metavar="G",
+                   help="Convergent-mode extension factor: unconverged "
+                        "events continue with iters' = iters + "
+                        "G*(iters - burn_in) (default 2.0 is exactly "
+                        "the reference rule noIter' = 3*noIter - "
+                        "2*burnIn, miso.c:920-928; smaller values, "
+                        "e.g. 1.0, extend stragglers in cheaper "
+                        "increments under the same R-hat test).")
     p.add_argument("--linear-start", action="store_true", default=False,
                    help="Seed every chain from the NNLS linear "
                         "deconvolution instead of the AUTO start "
@@ -164,6 +173,7 @@ def main(argv=None) -> int:
         **({"start": "linear"} if args.linear_start else {}),
         summary_only=args.summary_only,
         pack_output=args.pack_output,
+        convergent_growth=args.convergent_growth,
     )
     os.makedirs(args.output_dir, exist_ok=True)
     index_dir = os.path.abspath(os.path.expanduser(index_dir))

@@ -502,24 +502,35 @@ def summarize_sampler_results(samples_dir: str, summary_filename: str,
                               use_compressed: Optional[str] = None) -> int:
     """Write the `.miso_summary` table; returns events summarized.
     Ref: samples_utils.py:263-329."""
+    from concurrent.futures import ThreadPoolExecutor
+
     os.makedirs(os.path.dirname(os.path.abspath(summary_filename)),
                 exist_ok=True)
     samples_obj = MISOSamples(samples_dir, use_compressed=use_compressed)
     num_events = 0
-    with open(summary_filename, "w") as out:
+    # chunked thread-pool loads: the native sample parser releases the
+    # GIL (native/parselib.cpp), so catalog-scale summaries use real
+    # cores for the file parse
+    names = samples_obj.all_event_names
+    with open(summary_filename, "w") as out, \
+            ThreadPoolExecutor(max_workers=4) as pool:
         out.write("\t".join(SUMMARY_HEADER_FIELDS) + "\n")
-        for event_name in samples_obj.all_event_names:
-            data = samples_obj.get_event_samples(event_name)
-            if data is None:
-                print("WARNING: Skipping %s" % event_name)
-                continue
-            fields = format_credible_intervals(event_name, data.samples)
-            fields.append(get_isoforms_from_header(data.header))
-            fields.append(data.counts_info["counts"])
-            fields.append(data.counts_info["assigned_counts"])
-            gene_info = get_gene_info_from_params(data.params)
-            fields.extend([gene_info["chrom"], gene_info["strand"],
-                           gene_info["mRNA_starts"], gene_info["mRNA_ends"]])
-            out.write("\t".join(fields) + "\n")
-            num_events += 1
+        for lo in range(0, len(names), 512):
+            sub = names[lo:lo + 512]
+            for event_name, data in zip(
+                    sub, pool.map(samples_obj.get_event_samples, sub)):
+                if data is None:
+                    print("WARNING: Skipping %s" % event_name)
+                    continue
+                fields = format_credible_intervals(event_name,
+                                                   data.samples)
+                fields.append(get_isoforms_from_header(data.header))
+                fields.append(data.counts_info["counts"])
+                fields.append(data.counts_info["assigned_counts"])
+                gene_info = get_gene_info_from_params(data.params)
+                fields.extend([gene_info["chrom"], gene_info["strand"],
+                               gene_info["mRNA_starts"],
+                               gene_info["mRNA_ends"]])
+                out.write("\t".join(fields) + "\n")
+                num_events += 1
     return num_events

@@ -70,6 +70,12 @@ class RunConfig:
     # 3*noIter - 2*burnIn adaptive extension, miso.c:903-928)
     stop: str = "fixed"
     max_iters: int = 500000
+    # convergent-mode extension factor g: unconverged events continue
+    # with iters' = iters + g*(iters - burn_in) (g=2 is the reference
+    # rule noIter' = 3*noIter - 2*burnIn, miso.c:920-928; smaller
+    # opt-in values extend stragglers in cheaper increments under the
+    # same R-hat test)
+    convergent_growth: float = 2.0
     # skip .miso sample bodies entirely: posterior mean + Chen-Shao CIs
     # compute ON DEVICE and only the per-event summary payload (a few
     # bytes/event instead of ~10 KB of quantized samples) leaves the
@@ -352,9 +358,14 @@ class StreamRunner:
         # nothing (its whole bucket flushed at finish).  Steady-state
         # chunks stay at max_batch_events; the early shapes are
         # powers of two already minted by the finish-flush slicing.
+        # Convergent mode keeps whole buckets: each chunk pays its own
+        # multi-round adaptive loop (R-hat fetches, continuation
+        # compiles), so splitting multiplies latency instead of
+        # overlapping it.
         n_disp = self.bucket_chunks.get(key, 0)
-        thresh = min(self.cfg.max_batch_events,
-                     max(512 << n_disp, 1))
+        thresh = (self.cfg.max_batch_events if self.cfg.stop == "convergent"
+                  else min(self.cfg.max_batch_events,
+                           max(512 << n_disp, 1)))
         if len(evs) >= thresh:
             del self.buckets[key]
             self.bucket_chunks[key] = n_disp + 1
@@ -371,7 +382,9 @@ class StreamRunner:
         pad to the same power-of-two shapes, and each dispatch consumes
         its own PRNG chunk offset, so results stay deterministic for a
         given catalog."""
-        step = max(256, self.cfg.max_batch_events // 8)
+        step = (self.cfg.max_batch_events
+                if self.cfg.stop == "convergent"
+                else max(256, self.cfg.max_batch_events // 8))
         for key in sorted(self.buckets):
             evs, tags = self.buckets[key]
             for lo in range(0, len(evs), step):
@@ -491,7 +504,32 @@ class StreamRunner:
             from miso_tpu.sampler.mcmc import run_batch_convergent
             conv_res, _ = run_batch_convergent(
                 kkey, batch, sampler_cfg, max_iters=cfg.max_iters,
-                mesh=self.mesh, start_psi=start_psi, backend=backend)
+                mesh=self.mesh, start_psi=start_psi, backend=backend,
+                extend_factor=cfg.convergent_growth)
+            # posterior summaries at tick precision, BATCHED per
+            # adaptive schedule (same-S events stack into one numpy
+            # sort/mean pass; the per-event loop cost ~1ms x E of the
+            # convergent wall).  Same arithmetic as the device path;
+            # convergent results arrive as floats, so
+            # quantize-then-summarize on the host.
+            sched_groups: Dict[int, list] = {}
+            for j in range(len(evs)):
+                sched_groups.setdefault(
+                    conv_res[j]["samples"].shape[0], []).append(j)
+            summaries: Dict[int, tuple] = {}
+            for S, idxs in sched_groups.items():
+                bounds = _ci_bound_indices(S)
+                if bounds is None:
+                    continue
+                T = np.clip(np.round(np.stack(
+                    [conv_res[j]["samples"] for j in idxs]) * 1e4),
+                    0, 10000).astype(np.int64)      # (n, S, I_pad)
+                st = np.sort(T, axis=1)
+                mean = (T.astype(np.float64) / 1e4).mean(axis=1)
+                lo = st[:, bounds[0]] / 1e4
+                hi = st[:, bounds[1]] / 1e4
+                for t_i, j in enumerate(idxs):
+                    summaries[j] = (mean[t_i], lo[t_i], hi[t_i])
             results = []
             for j, ev in enumerate(evs):
                 r = conv_res[j]
@@ -511,17 +549,8 @@ class StreamRunner:
                     "iters": int(r["iters"]),
                     "burn_in": int(r["burn_in"]),
                 }
-                # posterior summary at tick precision (same arithmetic
-                # as the device path; convergent results arrive as
-                # floats, so quantize-then-summarize on the host)
-                t = np.clip(np.round(res_d["samples"] * 1e4),
-                            0, 10000).astype(np.int64)
-                bounds = _ci_bound_indices(t.shape[0])
-                if bounds is not None:
-                    st = np.sort(t, axis=0)
-                    res_d["summary"] = (
-                        (t.astype(np.float64) / 1e4).mean(axis=0),
-                        st[bounds[0]] / 1e4, st[bounds[1]] / 1e4)
+                if j in summaries:
+                    res_d["summary"] = summaries[j]
                 results.append(res_d)
             if self.bucket_stats is not None:
                 dt = time.time() - t_bucket

@@ -186,6 +186,7 @@ def run_batch_convergent(
     mesh=None,
     start_psi=None,
     backend: str = "xla",
+    extend_factor: float = 2.0,
 ):
     """Convergent-mean stopping with adaptive extension.
 
@@ -197,6 +198,15 @@ def run_batch_convergent(
     (GIVEN start from their final psi) -- masked continuation instead of
     per-event while-loops.  Continuation batches are padded to
     power-of-two event counts so the set of compile shapes is bounded.
+
+    `extend_factor` g generalizes the growth rule to
+    noIter' = noIter + g*(noIter - burnIn) -- each continuation adds g
+    retained windows.  g=2 is EXACTLY the reference rule
+    (noIter' = 3*noIter - 2*burnIn).  A handful of straggler events
+    otherwise re-run 14k/41k-iteration rounds; a smaller opt-in factor
+    (e.g. 1.0) extends them in cheaper increments with the SAME R-hat
+    acceptance test each round (g=1 is
+    the cheapest: constant-size continuation blocks).
 
     backend='pallas' keeps every round (including GIVEN-start
     continuations) on the fused kernels; continuation schedules still
@@ -217,10 +227,20 @@ def run_batch_convergent(
     # each event's final chain state
     start_psi = None if start_psi is None else np.asarray(start_psi,
                                                           np.float32)
-    # all round keys in one dispatch (rounds are bounded by the
-    # 3x-growth schedule hitting max_iters; 24 is far beyond it)
-    rkeys = jax.device_get(_round_keys(key, 24))  # host-side: indexing
-    # a device array per round would itself be an eager dispatch
+    if extend_factor < 1.0:
+        # burnIn' = noIter discards the whole previous run (reference
+        # semantics), so the retained window scales by g each round --
+        # g < 1 would shrink it toward zero records
+        raise ValueError("extend_factor must be >= 1 (got %r)"
+                         % extend_factor)
+    # all round keys in one dispatch (rounds are bounded by the growth
+    # schedule hitting max_iters; pad the estimate generously)
+    n_rounds = int(np.ceil(
+        np.log(max(max_iters / max(cfg.iters, 1), 2.0))
+        / np.log(1.0 + min(extend_factor, 1e6)))) + 8
+    n_rounds = min(max(n_rounds, 24), 256)
+    rkeys = jax.device_get(_round_keys(key, n_rounds))  # host-side:
+    # indexing a device array per round would itself be an eager dispatch
     round_i = 0
     while len(remaining):
         sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
@@ -262,7 +282,9 @@ def run_batch_convergent(
                     < np.asarray(sub.num_iso)[:nr, None])
         conv = np.all(np.where(iso_mask, rh <= rhat_threshold, True),
                       axis=1)
-        next_iters = 3 * cur_cfg.iters - 2 * cur_cfg.burn_in
+        next_iters = int(round(
+            cur_cfg.iters
+            + extend_factor * (cur_cfg.iters - cur_cfg.burn_in)))
         if next_iters > max_iters:
             conv = np.ones_like(conv)  # maxIterations cap (miso.c:908)
         # fetch ONLY the converged rows' posteriors, quantized to the

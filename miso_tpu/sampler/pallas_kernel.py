@@ -392,12 +392,16 @@ def _block_events(E: int, R: int, K: int, I: int, RPAD: int) -> int:
         + 16 * I
     )
     be = max(1, min(budget // max(per_event, 1), E, 256))
-    for cand in range(be, 0, -1):
-        if E % cand == 0 and (cand * K) % 128 == 0:
-            return cand
-    while E % be != 0:
-        be -= 1
-    return be
+    # legal blocks: lane width K*BE a multiple of 128, or the whole
+    # array (Mosaic requires one or the other; a 192-lane fallback
+    # block fails to lower).  Prefer the largest legal block within
+    # the VMEM budget; when none fits (very long record buffers from
+    # adaptive continuation schedules), take the SMALLEST legal block
+    # -- over the soft budget but under the compiler's vmem limit.
+    legal = [c for c in range(1, E + 1)
+             if E % c == 0 and ((c * K) % 128 == 0 or c == E)]
+    within = [c for c in legal if c <= be]
+    return max(within) if within else min(legal)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

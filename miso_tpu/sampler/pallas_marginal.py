@@ -223,12 +223,12 @@ def _block_events(E: int, K: int, I: int, RPAD: int) -> int:
     budget = 24 * 1024 * 1024
     per_event = K * 4 * ((I + 1) * RPAD + (I + 1) * 128 * 2 + 16 * I)
     be = max(1, min(budget // max(per_event, 1), E, 512))
-    for cand in range(be, 0, -1):
-        if E % cand == 0 and (cand * K) % 128 == 0:
-            return cand
-    while E % be != 0:
-        be -= 1
-    return be
+    # legal blocks only (lane width a multiple of 128, or the whole
+    # array) -- see pallas_kernel._block_events
+    legal = [c for c in range(1, E + 1)
+             if E % c == 0 and ((c * K) % 128 == 0 or c == E)]
+    within = [c for c in legal if c <= be]
+    return max(within) if within else min(legal)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "interpret"))

@@ -1,4 +1,5 @@
 """Convergent-mean adaptive stopping + R-hat diagnostics."""
+import os
 import numpy as np
 
 import jax
@@ -131,3 +132,44 @@ def test_convergent_pipeline_records_schedule(tmp_path):
     assert len(headers) == 3
     for h, r in zip(sorted(headers), results):
         assert "iters=" in h and "burn_in=" in h
+
+
+def test_convergent_small_growth_matches_exact_posterior():
+    """The opt-in smaller extension factor (iters' = g*iters -
+    (g-1)*burn_in) must pass the same R-hat acceptance rule and land on
+    the same posterior as the reference 3x rule -- checked against the
+    grid-exact posterior oracle."""
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    try:
+        from exact_posterior import exact_posterior_mean_2iso
+    finally:
+        sys.path.pop(0)
+
+    evs = _events(2, seed=11)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events(evs).items()})
+    # deliberately short first block so continuation rounds actually run
+    cfg = SamplerConfig(iters=300, burn_in=100, lag=2, chains=4)
+    for g in (2.0, 1.0):
+        results, iters_used = run_batch_convergent(
+            jax.random.PRNGKey(2), batch, cfg, max_iters=20000,
+            extend_factor=g)
+        for ev, r in zip(evs, results):
+            exact = exact_posterior_mean_2iso(ev)
+            got = float(np.asarray(r["samples"])[:, 0].mean())
+            assert abs(got - exact) < 0.03, (g, got, exact)
+    # g=1 continuation schedules are strictly cheaper per round
+    assert int(round(300 + 1.0 * (300 - 100))) < 3 * 300 - 2 * 100
+
+
+def test_convergent_growth_validation():
+    import pytest
+
+    evs = _events(1)
+    batch = EventBatch(**{k: np.asarray(v)
+                          for k, v in pad_events(evs).items()})
+    cfg = SamplerConfig(iters=200, burn_in=50, lag=2, chains=2)
+    with pytest.raises(ValueError):
+        run_batch_convergent(jax.random.PRNGKey(0), batch, cfg,
+                             extend_factor=0.5)

@@ -134,3 +134,53 @@ def test_structure_fixed_ymax_and_bar_posteriors(events_index, tmp_path):
             assert max(ticks) == 3.0
     finally:
         plt.close(fig)
+
+
+def test_structure_all_four_shipped_samples(events_index, tmp_path):
+    """The full shipped dataset (setup.py:128-153): all 4 real heart
+    BAMs + their reference-produced .miso posteriors on the shipped
+    minus-strand event.  Asserts per-sample structure: junction-arc
+    counts from each BAM, one posterior panel per sample with content,
+    shared density ymax across all four tracks."""
+    import matplotlib.pyplot as plt
+    from matplotlib.patches import PathPatch
+
+    from miso_tpu.plot.sashimi import plot_event
+
+    samples = ["heartWT1", "heartWT2", "heartKOa", "heartKOb"]
+    p = tmp_path / "settings4.txt"
+    p.write_text("""\
+[data]
+bam_prefix = %s
+miso_prefix = %s
+bam_files = [%s]
+miso_files = [%s]
+
+[plotting]
+fig_width = 7
+fig_height = 8
+intron_scale = 30
+exon_scale = 4
+colors = ["#CC0011", "#FF8800", "#0080FF", "#229922"]
+show_posteriors = True
+""" % (os.path.join(SASHIMI_DATA, "bam-data"), MISO_DATA,
+       ",".join('"%s.sorted.bam"' % s for s in samples),
+       ",".join('"%s"' % s for s in samples)))
+    out, fig = plot_event(EVENT, events_index, str(p), str(tmp_path),
+                          return_figure=True)
+    assert os.path.isfile(out)
+    try:
+        axes = fig.axes
+        # 4 samples x (density, posterior) + (mRNA, blank) = 10 axes
+        assert len(axes) == 10
+        density = [axes[2 * i] for i in range(4)]
+        posteriors = [axes[2 * i + 1] for i in range(4)]
+        ylims = {ax.get_ylim() for ax in density}
+        assert len(ylims) == 1  # shared ymax (plot_gene.py:286-311)
+        for ax, sample in zip(density, samples):
+            arcs = [q for q in ax.patches if isinstance(q, PathPatch)]
+            assert len(arcs) == len(_expected_junctions(sample)), sample
+        for ax_post in posteriors:
+            assert (len(ax_post.lines) + len(ax_post.patches)) > 0
+    finally:
+        plt.close(fig)
