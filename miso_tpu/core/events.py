@@ -185,7 +185,7 @@ def _event_from_classes(
         log_read = np.zeros_like(weights)  # unused by the CLASSES scorer
 
     if hyper is None:
-        hyper = np.ones(noiso)
+        hyper = _ones_ro(noiso)
     return CompiledEvent(
         name=name, gene=gene, num_iso=noiso, num_reads=num_reads,
         weights=weights, log_read=log_read,
@@ -304,6 +304,21 @@ def compile_paired_end_many(
             gene, classes, True, npr, read_len, overhang, frag_prob,
             frag_start, None, names[g]))
     return out
+
+
+_ONES_RO: dict = {}
+
+
+def _ones_ro(n: int) -> np.ndarray:
+    """Shared read-only all-ones hyperparameter vector: the default
+    Dirichlet prior is built once per event, and a fresh np.ones per
+    event measurably taxed the 50k-catalog compile wall."""
+    a = _ONES_RO.get(n)
+    if a is None:
+        a = np.ones(n)
+        a.setflags(write=False)
+        _ONES_RO[n] = a
+    return a
 
 
 def compile_single_end_many(
@@ -432,7 +447,7 @@ def compile_single_end_many(
             weights=weights, log_read=log_read,
             counts=counts[c0 + d0:c1],
             log_iso_w=log_iso_w_all[o0:o1],
-            hyper=np.ones(noiso),
+            hyper=_ones_ro(noiso),
             classes=classes, paired=False, any_compatible=True))
     return out
 
@@ -518,7 +533,7 @@ def _paired_event_from_classes(
     log_read = np.where(np.isfinite(log_read), log_read, 0.0)
 
     if hyper is None:
-        hyper = np.ones(noiso)
+        hyper = _ones_ro(noiso)
     return CompiledEvent(
         name=name, gene=gene, num_iso=noiso, num_reads=num_pairs,
         weights=templates.astype(np.float64), log_read=log_read,

@@ -1107,7 +1107,24 @@ class _CompileStream:
 
     def _run_group(self, d: str, group) -> None:
         cfg = self.cfg
-        # resolve genes + output names; apply the resume skip rule
+        # resolve genes + output names; apply the resume skip rule.
+        # One listdir per output chromosome dir instead of an isfile
+        # per event (50k isfile calls cost ~1s of the compile wall);
+        # within one run each event is processed once, so a snapshot
+        # taken at group start is exact.
+        existing_cache: Dict[str, set] = {}
+
+        def existing(chrom) -> set:
+            od = chrom_output_dir(self.output_dir, chrom)
+            s = existing_cache.get(od)
+            if s is None:
+                try:
+                    s = set(os.listdir(od))
+                except OSError:
+                    s = set()
+                existing_cache[od] = s
+            return s
+
         todo: List[Tuple[Gene, str, str]] = []
         for gene_id, entry in self._entries(d, group):
             gene: Gene = entry["gene_object"]
@@ -1115,9 +1132,11 @@ class _CompileStream:
             # (index_gff.py:80-99; summarize/compare map back via
             # --use-compressed)
             out_name = entry.get("compressed_id") or gene_id
-            out_path = event_output_path(self.output_dir, gene, out_name)
-            if os.path.isfile(out_path) or (self.done is not None
-                                            and out_name in self.done):
+            if (out_name + ".miso" in existing(gene.chrom)
+                    or (self.done is not None
+                        and out_name in self.done)):
+                out_path = event_output_path(self.output_dir, gene,
+                                             out_name)
                 if self.verbose:
                     print("Output filename %s exists, not running MISO."
                           % out_path)
