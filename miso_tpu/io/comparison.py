@@ -60,13 +60,27 @@ def output_samples_comparison(
     num_compared = 0
     names = sample1_obj.all_event_names
     CHUNK = 512
+    chunks = [names[lo:lo + CHUNK] for lo in range(0, len(names), CHUNK)]
     with open(output_filename, "w") as out, \
             ThreadPoolExecutor(max_workers=4) as pool:
         out.write("\t".join(BF_HEADER_FIELDS) + "\n")
-        for lo in range(0, len(names), CHUNK):
-            sub = names[lo:lo + CHUNK]
-            s1s = list(pool.map(sample1_obj.get_event_samples, sub))
-            s2s = list(pool.map(sample2_obj.get_event_samples, sub))
+
+        def submit(sub):
+            return ([pool.submit(sample1_obj.get_event_samples, nm)
+                     for nm in sub],
+                    [pool.submit(sample2_obj.get_event_samples, nm)
+                     for nm in sub])
+
+        # double-buffered: chunk k+1's file loads (GIL-released native
+        # parse on the pool) overlap chunk k's batch statistics (numpy
+        # on this thread) -- serialized they each idle a core
+        pending = submit(chunks[0]) if chunks else None
+        for i, sub in enumerate(chunks):
+            cur = pending
+            pending = submit(chunks[i + 1]) if i + 1 < len(chunks) \
+                else None
+            s1s = [f.result() for f in cur[0]]
+            s2s = [f.result() for f in cur[1]]
             for fields in _comparison_rows(sub, s1s, s2s, alpha):
                 num_compared += 1
                 out.write("\t".join(fields) + "\n")
@@ -84,7 +98,9 @@ def _batch_ci(stack: np.ndarray, alpha: float):
     hi = int(round((1 - a / 2) * n)) - 1
     if lo <= 0 or hi <= 0:
         raise ValueError("Too few samples for credible interval (n=%d)" % n)
-    srt = np.sort(stack, axis=1)
+    # np.partition places EXACTLY the sorted-order elements at the two
+    # requested indices (identical values to a full sort) in O(n)
+    srt = np.partition(stack, (lo, hi), axis=1)
     return srt[:, lo, :], srt[:, hi, :]
 
 

@@ -100,7 +100,14 @@ def batch_bayes_factors(samples1: np.ndarray,
     safe_cov = np.where(cov > 0, cov, 1.0)[:, None, :]
     z = -diff  # point (0) minus samples, as kde_density_at computes
     with np.errstate(under="ignore"):
-        dens = (np.exp(-0.5 * z * z / safe_cov).sum(axis=1)
+        # in-place chain: ((z*z) * -0.5) / cov == -0.5*z*z/cov evaluated
+        # left-to-right -- bitwise the scalar path's values, without the
+        # three (E, n, I) float64 temporaries (this op is memory-bound)
+        t = z * z
+        t *= -0.5
+        t /= safe_cov
+        np.exp(t, out=t)
+        dens = (t.sum(axis=1)
                 / (n * np.sqrt(2 * np.pi * safe_cov[:, 0, :])))
     with np.errstate(divide="ignore"):
         bf = np.where(dens > 0, np.minimum(
