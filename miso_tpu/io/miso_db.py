@@ -43,6 +43,7 @@ class MISODatabase:
 
     def __init__(self, db_fname: str,
                  comp_to_uncomp: Optional[Dict[str, str]] = None):
+        import threading
         if not os.path.isfile(db_fname):
             raise FileNotFoundError(db_fname)
         self.db_fname = db_fname
@@ -51,7 +52,11 @@ class MISODatabase:
         if comp_to_uncomp is not None:
             self.uncomp_to_comp = {v: k for k, v in comp_to_uncomp.items()}
         self.table_name = "table_%s" % get_table_name_from_file(db_fname)
-        self.conn = sqlite3.connect(self.db_fname)
+        # shared across reader threads (summarize/compare thread pools);
+        # queries serialize under the lock
+        self.conn = sqlite3.connect(self.db_fname,
+                                    check_same_thread=False)
+        self._lock = threading.Lock()
         self.is_db_events_compressed = self._first_event_compressed()
 
     def _first_event_compressed(self) -> bool:
@@ -62,32 +67,43 @@ class MISODatabase:
             return False
         return is_compressed_name(str(row[0]))
 
-    def get_event_data_as_stream(self, event_name: str):
+    def _resolve_name(self, event_name: str):
         from miso_tpu.io.gff import is_compressed_name
-        event_to_query = event_name
         if self.is_db_events_compressed and not is_compressed_name(event_name):
             if self.uncomp_to_comp is None:
                 raise ValueError(
                     "The database contains compressed IDs but no mapping "
                     "(.shelve) file was given.")
-            if event_name not in self.uncomp_to_comp:
-                return None
-            event_to_query = self.uncomp_to_comp[event_name]
-        elif (not self.is_db_events_compressed) and \
+            return self.uncomp_to_comp.get(event_name)
+        if (not self.is_db_events_compressed) and \
                 is_compressed_name(event_name):
-            if self.comp_to_uncomp is None or \
-                    event_name not in self.comp_to_uncomp:
+            if self.comp_to_uncomp is None:
                 return None
-            event_to_query = self.comp_to_uncomp[event_name]
-        c = self.conn.cursor()
-        rows = c.execute(
-            "SELECT * from %s WHERE event_name=?" % self.table_name,
-            (event_to_query,)).fetchall()
+            return self.comp_to_uncomp.get(event_name)
+        return event_name
+
+    def get_event_raw(self, event_name: str):
+        """(psi_vals_and_scores, header_block) text columns, or None."""
+        event_to_query = self._resolve_name(event_name)
+        if event_to_query is None:
+            return None
+        with self._lock:
+            rows = self.conn.execute(
+                "SELECT * from %s WHERE event_name=?" % self.table_name,
+                (event_to_query,)).fetchall()
         if len(rows) == 0:
             return None
         if len(rows) > 1:
-            raise ValueError("More than one entry for event %s" % event_to_query)
+            raise ValueError("More than one entry for event %s"
+                             % event_to_query)
         _, psi_vals_and_scores, header = rows[0]
+        return psi_vals_and_scores, header
+
+    def get_event_data_as_stream(self, event_name: str):
+        row = self.get_event_raw(event_name)
+        if row is None:
+            return None
+        psi_vals_and_scores, header = row
         return io.StringIO("%s%s" % (header, psi_vals_and_scores))
 
     def get_all_event_names(self) -> List[str]:
@@ -141,10 +157,21 @@ class DirectPacker:
         if conn is None:
             path = os.path.join(self.output_dir, chrom + MISO_DB_EXT)
             conn = sqlite3.connect(path, check_same_thread=False)
+            # fresh-output writes: journaling/fsync buy nothing (a
+            # crashed run is simply re-run; resume skips done events),
+            # and they bound insert throughput
+            conn.execute("PRAGMA journal_mode=OFF")
+            conn.execute("PRAGMA synchronous=OFF")
             conn.execute(
                 "CREATE TABLE IF NOT EXISTS table_%s "
                 "(event_name text, psi_vals_and_scores text, header text)"
                 % chrom)
+            # the reference schema has no index, so per-event reads
+            # table-scan; indexing costs little here and makes packed
+            # summarize/compare O(log n) per lookup
+            conn.execute(
+                "CREATE INDEX IF NOT EXISTS idx_%s ON table_%s "
+                "(event_name)" % (chrom, chrom))
             self.conns[chrom] = conn
             self.pending[chrom] = []
         return conn
@@ -187,10 +214,14 @@ def miso_dir_to_db(dir_to_compress: str,
         return None
     conn = sqlite3.connect(output_filename)
     c = conn.cursor()
+    c.execute("PRAGMA journal_mode=OFF")
+    c.execute("PRAGMA synchronous=OFF")
     table_name = "table_%s" % os.path.basename(dir_to_compress)
     c.execute("CREATE TABLE %s "
               "(event_name text, psi_vals_and_scores text, header text)"
               % table_name)
+    c.execute("CREATE INDEX idx_%s ON %s (event_name)"
+              % (os.path.basename(dir_to_compress), table_name))
     for miso_fname in miso_filenames:
         fields = load_miso_file_as_str(miso_fname)
         if fields is None:

@@ -381,6 +381,7 @@ class MISOSamples:
             self.compressed_ids_to_genes = \
                 load_compressed_ids_to_genes(use_compressed)
         self.event_names_to_fnames: Dict[str, str] = {}
+        self._dbs: Dict[str, object] = {}
         filenames = self._collect_filenames(samples_dir)
         for fname in filenames:
             if fname.endswith(".miso"):
@@ -391,6 +392,7 @@ class MISOSamples:
             elif miso_db.is_miso_db_fname(fname):
                 db = miso_db.MISODatabase(
                     fname, comp_to_uncomp=self.compressed_ids_to_genes)
+                self._dbs[fname] = db
                 for ev in db.get_all_event_names():
                     self.event_names_to_fnames[str(ev)] = fname
         self.all_event_names = list(self.event_names_to_fnames.keys())
@@ -420,12 +422,25 @@ class MISOSamples:
             return None
         if fname.endswith(".miso"):
             return load_miso_file(fname)
-        db = miso_db.MISODatabase(
-            fname, comp_to_uncomp=self.compressed_ids_to_genes)
-        data = db.get_event_data_as_stream(event_name)
-        if data is None:
+        # one cached connection per .miso_db (opening sqlite per event
+        # bound packed-source summarize/compare)
+        db = self._dbs.get(fname)
+        if db is None:
+            db = miso_db.MISODatabase(
+                fname, comp_to_uncomp=self.compressed_ids_to_genes)
+            self._dbs[fname] = db
+        row = db.get_event_raw(event_name)
+        if row is None:
             return None
-        return load_miso_file(data)
+        body, header_block = row
+        # native sample-block parse (same fast path as .miso files)
+        from miso_tpu import native
+        parsed = native.parse_samples(body.encode())
+        if parsed is not None:
+            header = header_block.split("\n", 1)[0].rstrip("\r")
+            return _miso_file_data(header, *parsed)
+        import io as io_mod
+        return load_miso_file(io_mod.StringIO(header_block + body))
 
 
 # ------------------------------------------------------------- summarize
