@@ -400,7 +400,16 @@ def compile_single_end_many(
     # log_read = weights * iso_clean (weights are {0,1})
     iso_clean = np.where(np.isfinite(isoscores_all), isoscores_all, 0.0)
     div_all = np.where(efflen_all != 0, efflen_all, 1).astype(np.float64)
-    shift_cache: dict = {}
+    # ONE bitmask unpack for the whole chromosome: per-gene `(masks >>
+    # shifts) & 1` numpy calls cost ~1s of the 50k-catalog compile wall;
+    # gene g's (noiso, C_g) template block is a VIEW of this array
+    # (row j of the full unpack is bit max_I-1-j, so a gene with fewer
+    # isoforms starts at row max_I - noiso)
+    max_I = int(noiso_arr.max()) if n else 0
+    shifts_all = np.arange(max(max_I, 1) - 1, -1, -1,
+                           dtype=np.uint64)[:, None]
+    unp = ((masks[None, :] >> shifts_all) & 1).astype(np.float64)
+    zero_mask = masks == 0
     out: List[Optional[CompiledEvent]] = []
     for g in range(n):
         gene = genes[g]
@@ -410,18 +419,12 @@ def compile_single_end_many(
             out.append(None)
             continue
         c0, c1 = int(class_ofs[g]), int(class_ofs[g + 1])
-        shifts = shift_cache.get(noiso)
-        if shifts is None:
-            shifts = np.arange(noiso - 1, -1, -1, dtype=np.uint64
-                               )[:, None]
-            shift_cache[noiso] = shifts
-        templates = ((masks[None, c0:c1] >> shifts) & 1
-                     ).astype(np.float64)
+        templates = unp[max_I - noiso:, c0:c1]
         classes = ReadClasses(templates=templates, counts=counts[c0:c1])
         # classes are in ascending bitmask order, so the one possible
         # all-incompatible class (mask 0; dropped from device tensors,
         # miso.c:65-66 -- see _event_from_classes) is always FIRST
-        d0 = 1 if masks[c0] == 0 else 0
+        d0 = 1 if zero_mask[c0] else 0
         if c1 - c0 <= d0:
             out.append(None)  # no read compatible with any isoform
             continue
