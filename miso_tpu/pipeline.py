@@ -1112,17 +1112,17 @@ class _CompileStream:
         # per event (50k isfile calls cost ~1s of the compile wall);
         # within one run each event is processed once, so a snapshot
         # taken at group start is exact.
-        existing_cache: Dict[str, set] = {}
+        existing_cache: Dict[object, set] = {}
 
         def existing(chrom) -> set:
-            od = chrom_output_dir(self.output_dir, chrom)
-            s = existing_cache.get(od)
+            s = existing_cache.get(chrom)
             if s is None:
                 try:
-                    s = set(os.listdir(od))
+                    s = set(os.listdir(
+                        chrom_output_dir(self.output_dir, chrom)))
                 except OSError:
                     s = set()
-                existing_cache[od] = s
+                existing_cache[chrom] = s
             return s
 
         todo: List[Tuple[Gene, str, str]] = []
