@@ -346,6 +346,13 @@ def test_multi_isoform_cli(tmp_path):
     assert summarize_sampler_results(out, summ) == 1
     line = open(summ).read().splitlines()[1].split("\t")
     assert line[1].count(",") == 3  # 4 comma-separated means
+    # the run-integrated DEVICE summary must be byte-identical on the
+    # multi-isoform path too ((E, S, I) tick sums + per-column order
+    # statistics; the 2-isoform path is covered by
+    # test_run_integrated_summary)
+    run_lines = open(os.path.join(
+        out, "summary", "out.miso_summary")).read().splitlines()
+    assert sorted(run_lines) == sorted(open(summ).read().splitlines())
 
 
 def test_compress_id_roundtrip(tmp_path, index_dir, bam_file,
