@@ -92,12 +92,13 @@ def _batch_ci(stack: np.ndarray, alpha: float):
     """Chen-Shao order-statistic bounds for stacked samples (E, N, I)
     -> (lo (E, I), hi (E, I)).  Same index arithmetic (and the same
     loud small-n error) as stats/intervals.py."""
+    from miso_tpu.stats.intervals import ci_bound_indices
+
     n = stack.shape[1]
-    a = 1 - alpha
-    lo = int(round((a / 2) * n)) - 1
-    hi = int(round((1 - a / 2) * n)) - 1
-    if lo <= 0 or hi <= 0:
+    bounds = ci_bound_indices(n, alpha)
+    if bounds is None:
         raise ValueError("Too few samples for credible interval (n=%d)" % n)
+    lo, hi = bounds
     # np.partition places EXACTLY the sorted-order elements at the two
     # requested indices (identical values to a full sort) in O(n)
     srt = np.partition(stack, (lo, hi), axis=1)

@@ -51,7 +51,11 @@ class MISODatabase:
         self.uncomp_to_comp = None
         if comp_to_uncomp is not None:
             self.uncomp_to_comp = {v: k for k, v in comp_to_uncomp.items()}
-        self.table_name = "table_%s" % get_table_name_from_file(db_fname)
+        # the identifier is double-quoted in every statement: chromosome
+        # names commonly contain '.' or '-' (scaffolds), which are
+        # illegal in bare SQL identifiers
+        self.table_name = '"table_%s"' % get_table_name_from_file(
+            db_fname).replace('"', '""')
         # shared across reader threads (summarize/compare thread pools);
         # queries serialize under the lock
         self.conn = sqlite3.connect(self.db_fname,
@@ -149,7 +153,8 @@ class DirectPacker:
             chrom = get_table_name_from_file(db)
             conn = self._open(chrom)
             for (nm,) in conn.execute(
-                    "SELECT event_name from table_%s" % chrom):
+                    'SELECT event_name from "table_%s"'
+                    % chrom.replace('"', '""')):
                 self.done_names.add(str(nm))
 
     def _open(self, chrom: str) -> sqlite3.Connection:
@@ -162,16 +167,17 @@ class DirectPacker:
             # and they bound insert throughput
             conn.execute("PRAGMA journal_mode=OFF")
             conn.execute("PRAGMA synchronous=OFF")
+            q = chrom.replace('"', '""')
             conn.execute(
-                "CREATE TABLE IF NOT EXISTS table_%s "
+                'CREATE TABLE IF NOT EXISTS "table_%s" '
                 "(event_name text, psi_vals_and_scores text, header text)"
-                % chrom)
+                % q)
             # the reference schema has no index, so per-event reads
             # table-scan; indexing costs little here and makes packed
             # summarize/compare O(log n) per lookup
             conn.execute(
-                "CREATE INDEX IF NOT EXISTS idx_%s ON table_%s "
-                "(event_name)" % (chrom, chrom))
+                'CREATE INDEX IF NOT EXISTS "idx_%s" ON "table_%s" '
+                "(event_name)" % (q, q))
             self.conns[chrom] = conn
             self.pending[chrom] = []
         return conn
@@ -189,7 +195,8 @@ class DirectPacker:
         rows = self.pending[chrom]
         if rows:
             self.conns[chrom].executemany(
-                "INSERT INTO table_%s VALUES (?, ?, ?)" % chrom, rows)
+                'INSERT INTO "table_%s" VALUES (?, ?, ?)'
+                % chrom.replace('"', '""'), rows)
             self.pending[chrom] = []
 
     def finish(self) -> None:
@@ -216,12 +223,13 @@ def miso_dir_to_db(dir_to_compress: str,
     c = conn.cursor()
     c.execute("PRAGMA journal_mode=OFF")
     c.execute("PRAGMA synchronous=OFF")
-    table_name = "table_%s" % os.path.basename(dir_to_compress)
+    base = os.path.basename(dir_to_compress).replace('"', '""')
+    table_name = '"table_%s"' % base
     c.execute("CREATE TABLE %s "
               "(event_name text, psi_vals_and_scores text, header text)"
               % table_name)
-    c.execute("CREATE INDEX idx_%s ON %s (event_name)"
-              % (os.path.basename(dir_to_compress), table_name))
+    c.execute('CREATE INDEX "idx_%s" ON %s (event_name)'
+              % (base, table_name))
     for miso_fname in miso_filenames:
         fields = load_miso_file_as_str(miso_fname)
         if fields is None:

@@ -452,6 +452,21 @@ SUMMARY_HEADER_FIELDS = [
 ]
 
 
+def summary_row_from_data(event_name: str, data: MISOFileData
+                          ) -> List[str]:
+    """One `.miso_summary` row from loaded samples (the text path's row
+    construction, shared by summarize_sampler_results and the resumed-
+    run backfill).  Ref: samples_utils.py:263-329."""
+    fields = format_credible_intervals(event_name, data.samples)
+    fields.append(get_isoforms_from_header(data.header))
+    fields.append(data.counts_info["counts"])
+    fields.append(data.counts_info["assigned_counts"])
+    gene_info = get_gene_info_from_params(data.params)
+    fields.extend([gene_info["chrom"], gene_info["strand"],
+                   gene_info["mRNA_starts"], gene_info["mRNA_ends"]])
+    return fields
+
+
 def summary_row_fields(event: CompiledEvent, res: dict
                        ) -> Optional[List[str]]:
     """Build one `.miso_summary` row STRAIGHT from a run result dict --
@@ -537,15 +552,7 @@ def summarize_sampler_results(samples_dir: str, summary_filename: str,
                 if data is None:
                     print("WARNING: Skipping %s" % event_name)
                     continue
-                fields = format_credible_intervals(event_name,
-                                                   data.samples)
-                fields.append(get_isoforms_from_header(data.header))
-                fields.append(data.counts_info["counts"])
-                fields.append(data.counts_info["assigned_counts"])
-                gene_info = get_gene_info_from_params(data.params)
-                fields.extend([gene_info["chrom"], gene_info["strand"],
-                               gene_info["mRNA_starts"],
-                               gene_info["mRNA_ends"]])
-                out.write("\t".join(fields) + "\n")
+                out.write("\t".join(
+                    summary_row_from_data(event_name, data)) + "\n")
                 num_events += 1
     return num_events

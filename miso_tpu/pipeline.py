@@ -257,16 +257,29 @@ _EXPAND_JIT = None
 
 def _summary_stats(quant, lo: int, hi: int):
     """Device-side posterior summary of the quantized psi ticks:
-    per-(event, isoform) int32 tick sum (exact -- the host divides in
-    float64, so the mean matches a float64 mean of the 1e-4-quantized
-    samples) plus the Chen-Shao order statistics at the lo/hi bound
-    indices (credible_intervals.py:31-55 index arithmetic; sorting the
-    ticks picks exactly the values sorting the parsed floats would).
-    quant: (E, S) two-isoform column 0, or (E, S, I)."""
+    per-(event, isoform) tick sums (exact -- the host reduces the
+    segment partials in int64 and divides in float64, so the mean
+    matches a float64 mean of the 1e-4-quantized samples) plus the
+    Chen-Shao order statistics at the lo/hi bound indices
+    (credible_intervals.py:31-55 index arithmetic; sorting the ticks
+    picks exactly the values sorting the parsed floats would).
+    quant: (E, S) two-isoform column 0, or (E, S, I).
+
+    Sums are SEGMENTED: one int32 sum covers at most 131072 samples
+    (ticks <= 10^4, so a segment sum <= 1.3e9 < 2^31; a single int32
+    sum would overflow for retained counts above ~214k, e.g. lag=1
+    schedules), and the (E, n_seg[, I]) partials transfer to the host
+    for an exact int64 reduction (device int64 needs x64 mode)."""
     import jax.numpy as jnp
 
     s = jnp.sort(quant, axis=1)
-    ssum = jnp.sum(quant.astype(jnp.int32), axis=1)
+    SEG = 131072
+    S = quant.shape[1]
+    partials = [
+        jnp.sum(quant[:, i:i + SEG].astype(jnp.int32), axis=1)
+        for i in range(0, S, SEG)
+    ]
+    ssum = jnp.stack(partials, axis=1)  # (E, n_seg[, I])
     return ssum, s[:, lo], s[:, hi]
 
 
@@ -285,13 +298,9 @@ _SUMMARY_JIT = None
 def _ci_bound_indices(num_samples: int,
                       confidence_level: float = 0.95):
     """(lo, hi) sorted-sample indices, or None if the sample count is
-    too small for the interval (see stats/intervals.py)."""
-    alpha = 1 - confidence_level
-    lo = int(round((alpha / 2) * num_samples)) - 1
-    hi = int(round((1 - alpha / 2) * num_samples)) - 1
-    if lo <= 0 or hi <= 0:
-        return None
-    return lo, hi
+    too small for the interval (the shared Chen-Shao rule)."""
+    from miso_tpu.stats.intervals import ci_bound_indices
+    return ci_bound_indices(num_samples, confidence_level)
 
 
 class StreamRunner:
@@ -681,6 +690,8 @@ class StreamRunner:
         summary = None
         if p["summ"] is not None:
             ssum, lo_t, hi_t = h["summ"]
+            # segment partials -> exact int64 total (see _summary_stats)
+            ssum = ssum.astype(np.int64).sum(axis=1)
             lo_v = lo_t.astype(np.float64) / 1e4
             hi_v = hi_t.astype(np.float64) / 1e4
             if "quant" in h:
@@ -1298,7 +1309,13 @@ def compute_all_genes_psi(
 
     settings = settings or Settings.get()
     cfg = cfg or RunConfig.from_settings(settings, read_len)
-    if cfg.summary_only and cfg.stop != "convergent":
+    if cfg.summary_only and cfg.pack_output:
+        raise ValueError(
+            "--pack-output and --summary-only conflict: summary-only "
+            "runs store no posterior samples to pack")
+    if cfg.summary_only:
+        # also covers convergent stops: continuation windows only grow
+        # (extend_factor >= 1), so a valid initial schedule stays valid
         n_s = ((cfg.iters - cfg.burn_in) // cfg.lag) * cfg.chains
         if _ci_bound_indices(n_s) is None:
             raise ValueError(
@@ -1354,6 +1371,15 @@ def compute_all_genes_psi(
         packer = DirectPacker(output_dir)
 
     def on_chunk(evs, results):
+        # summary rows format OUTSIDE the lock (pure string work; the
+        # lock guards only the shared containers)
+        rows_local = {}
+        for ev, res in zip(evs, results):
+            if res is None:
+                continue
+            fields = summary_row_fields(ev, res)
+            if fields is not None:
+                rows_local[ev.name] = "\t".join(fields)
         # slices of ~512 events per pool task: each batch-formats its
         # sample bodies in one vectorized pass (see _write_events_batch)
         with write_lock:
@@ -1367,12 +1393,7 @@ def compute_all_genes_psi(
                     write_futures.append(write_pool.submit(
                         _write_events_batch, output_dir, cfg,
                         evs[lo:lo + 512], results[lo:lo + 512]))
-            for ev, res in zip(evs, results):
-                if res is None:
-                    continue
-                fields = summary_row_fields(ev, res)
-                if fields is not None:
-                    summary_rows[ev.name] = "\t".join(fields)
+            summary_rows.update(rows_local)
             progress["done"] += len(evs)
             now = time.time()
             if verbose and now - progress["t_last"] > 15:
@@ -1468,6 +1489,27 @@ def compute_all_genes_psi(
         label = os.path.basename(os.path.normpath(output_dir))
         summary_filename = os.path.join(output_dir, "summary",
                                         "%s.miso_summary" % label)
+        if stream.skipped and not cfg.summary_only:
+            # resumed runs: skipped events never reach the device, and
+            # if the prior run died before writing a summary there is
+            # no file to merge with -- backfill their rows from the
+            # stored samples so the summary is never silently partial
+            from miso_tpu.io.miso_file import (MISOSamples,
+                                               summary_row_from_data)
+            have = set(summary_rows)
+            if os.path.isfile(summary_filename):
+                with open(summary_filename) as f:
+                    f.readline()
+                    have.update(line.split("\t", 1)[0]
+                                for line in f if line.strip())
+            obj = MISOSamples(output_dir)
+            for nm in obj.all_event_names:
+                if nm in have:
+                    continue
+                data = obj.get_event_samples(nm)
+                if data is not None:
+                    summary_rows[nm] = "\t".join(
+                        summary_row_from_data(nm, data))
         n_summ = write_summary_file(summary_filename, summary_rows)
         if verbose:
             print("Posterior summary (%d events, device-side): %s"

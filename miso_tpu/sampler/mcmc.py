@@ -234,10 +234,14 @@ def run_batch_convergent(
         raise ValueError("extend_factor must be >= 1 (got %r)"
                          % extend_factor)
     # all round keys in one dispatch (rounds are bounded by the growth
-    # schedule hitting max_iters; pad the estimate generously)
-    n_rounds = int(np.ceil(
-        np.log(max(max_iters / max(cfg.iters, 1), 2.0))
-        / np.log(1.0 + min(extend_factor, 1e6)))) + 8
+    # schedule hitting max_iters).  The retained window w scales by g
+    # per round and each round adds g*w >= g*w0 iterations, so the
+    # ARITHMETIC bound (max_iters - iters)/(g*w0) holds for every
+    # g >= 1 -- at g=1 growth IS arithmetic (a geometric estimate
+    # under-provisioned keys and tripped the round assert)
+    w0 = max(cfg.iters - cfg.burn_in, 1)
+    n_rounds = int(np.ceil(max(max_iters - cfg.iters, 0)
+                           / (extend_factor * w0))) + 8
     n_rounds = min(max(n_rounds, 24), 256)
     rkeys = jax.device_get(_round_keys(key, n_rounds))  # host-side:
     # indexing a device array per round would itself be an eager dispatch
@@ -246,10 +250,13 @@ def run_batch_convergent(
         sub = EventBatch(*(np.asarray(a)[remaining] for a in events))
         sp = None if start_psi is None else start_psi[remaining]
         sub, sp = _pow2_pad_events(sub, sp, len(remaining))
-        # the 3x-growth schedule bounds rounds far below 24; enforce it
-        # rather than silently replaying rkeys[23] if that ever changes
-        assert round_i < len(rkeys), (
-            f"convergent continuation exceeded {len(rkeys)} rounds")
+        # never replay a round key: if a pathological schedule outruns
+        # the estimate, mint a fresh block (distinct fold_in domain)
+        if round_i >= len(rkeys):
+            more = jax.device_get(_round_keys(
+                jax.random.fold_in(key, 1_000_000 + len(rkeys)),
+                len(rkeys)))
+            rkeys = np.concatenate([np.asarray(rkeys), more])
         rkey = rkeys[round_i]
         # numpy start_psi rides the jit call (an eager jnp.asarray put
         # would cost its own remote round-trip per continuation round)

@@ -82,9 +82,12 @@ def batch_bayes_factors(samples1: np.ndarray,
     per-event, per-isoform scalar KDE loop (compute_bayes_factors);
     the op order replicates kde_density_at /
     posterior_density_at_zero / compute_bayes_factor_from_density
-    exactly (same elementwise expressions, same pairwise axis
-    reductions), so results match the scalar path bitwise
-    (tests/test_differential.py pins row-level equality).
+    (same elementwise expressions, same pairwise axis reductions;
+    tests/test_differential.py pins row-level equality on mixed
+    catalogs).  Caveat: axis-vs-1D reduction order can differ in the
+    last ulp, so an event whose mean |delta| sits within an ulp of the
+    0.009 null threshold could classify differently from the scalar
+    path -- a measure-zero edge accepted for the ~6x batch speedup.
     Ref: misopy/hypothesis_test.py:41-65,89-179,348-380."""
     samples1 = np.asarray(samples1, np.float64)
     samples2 = np.asarray(samples2, np.float64)

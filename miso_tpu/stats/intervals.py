@@ -10,6 +10,21 @@ from typing import List, Tuple
 import numpy as np
 
 
+def ci_bound_indices(num_samples: int,
+                     confidence_level: float = 0.95):
+    """(lo, hi) sorted-sample bound indices per the Chen-Shao rule
+    (misopy/credible_intervals.py:31-55 index arithmetic), or None when
+    the sample count is too small -- the ONE definition shared by the
+    text summarize path, the device-side run summary (pipeline), and
+    the batched comparison."""
+    alpha = 1 - confidence_level
+    lo = int(round((alpha / 2) * num_samples)) - 1
+    hi = int(round((1 - alpha / 2) * num_samples)) - 1
+    if lo <= 0 or hi <= 0:
+        return None
+    return lo, hi
+
+
 def compute_credible_intervals(samples: np.ndarray,
                                confidence_level: float = 0.95
                                ) -> Tuple[float, float]:
@@ -18,10 +33,8 @@ def compute_credible_intervals(samples: np.ndarray,
     if samples.ndim == 2:
         samples = samples[:, 0]
     n = len(samples)
-    alpha = 1 - confidence_level
-    lo = int(round((alpha / 2) * n)) - 1
-    hi = int(round((1 - alpha / 2) * n)) - 1
-    if lo <= 0 or hi <= 0:
+    bounds = ci_bound_indices(n, confidence_level)
+    if bounds is None:
         # DELIBERATE DIVERGENCE from misopy/credible_intervals.py:31-55:
         # there int(round(q*n))-1 silently yields index -1 for tiny n,
         # which numpy wrap-around turns into the LARGEST sample as the
@@ -29,6 +42,7 @@ def compute_credible_intervals(samples: np.ndarray,
         # truncated/filtered .miso file should error loudly instead.
         # Documented in docs/VALIDATION.md ("small-n credible intervals").
         raise ValueError("Too few samples for credible interval (n=%d)" % n)
+    lo, hi = bounds
     s = np.sort(samples)
     return float(s[lo]), float(s[hi])
 

@@ -561,3 +561,104 @@ def test_pack_output_direct(tmp_path, capsys):
     pack_obj2 = MISOSamples(pack_dir)
     assert sorted(pack_obj2.all_event_names) == \
         sorted(text_obj.all_event_names)
+
+
+def test_resumed_run_summary_is_complete(tmp_path):
+    """A run resumed after an interruption must not write a silently
+    partial .miso_summary: skip-done events' rows backfill from their
+    stored samples when no prior summary exists."""
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "fix"), num_events=12,
+                                reads_per_event=150, seed=31)
+    settings = tmp_path / "settings.txt"
+    settings.write_text(FAST_SETTINGS)
+    index_dir = str(tmp_path / "index")
+    assert index_main(["--index", fix["gff"], index_dir]) == 0
+    out_dir = str(tmp_path / "out")
+    base = ["--run", index_dir, fix["bam"], "--output-dir", out_dir,
+            "--read-len", str(fix["read_len"]),
+            "--settings-filename", str(settings)]
+    assert miso_main(base) == 0
+    summary = os.path.join(out_dir, "summary", "out.miso_summary")
+    full = sorted(open(summary).read().splitlines())
+    assert len(full) == 13
+    # simulate an interrupted run: half the events done, NO summary
+    import shutil
+    import glob as glob_mod
+    victims = sorted(glob_mod.glob(
+        os.path.join(out_dir, "*", "*.miso")))[:6]
+    assert len(victims) == 6
+    for v in victims:
+        os.remove(v)
+    shutil.rmtree(os.path.dirname(summary))
+    assert miso_main(base) == 0  # resumes: only 6 events re-run
+    resumed = sorted(open(summary).read().splitlines())
+    assert len(resumed) == 13  # backfilled, not partial
+    # CI/count fields identical; means equal at output precision (the
+    # re-run events resample under fresh chunk keys)
+    assert [l.split("\t")[0] for l in resumed] == \
+        [l.split("\t")[0] for l in full]
+
+
+def test_pack_output_dotted_chrom(tmp_path):
+    """--pack-output with scaffold-style chromosome names ('.'/'-' are
+    illegal in bare SQL identifiers) must round-trip."""
+    import numpy as np
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.core.gene import make_gene
+    from miso_tpu.core.simulate import simulate_reads
+    from miso_tpu.io.gff import GFFRecord, write_gff
+    from miso_tpu.io.miso_file import MISOSamples
+    from miso_tpu.io.sam import AlignedRead, write_bam
+
+    chrom = "GL000225.1"
+    g = make_gene([120, 60, 120], [[1, 2, 3], [1, 3]], chrom=chrom,
+                  label="sc1")
+    g.strand = "+"
+    recs = [GFFRecord(chrom, "sim", "gene", *g.genomic_span(), None,
+                      "+", None, {"ID": ["sc1"]})]
+    for k, iso in enumerate(g.isoforms):
+        iid = "sc1.i%d" % k
+        lo, hi = g.iso_genomic_span(k)
+        recs.append(GFFRecord(chrom, "sim", "mRNA", lo, hi, None, "+",
+                              None, {"ID": [iid], "Parent": ["sc1"]}))
+        for p in iso.parts:
+            part = g.parts[p]
+            recs.append(GFFRecord(chrom, "sim", "exon", part.start,
+                                  part.end, None, "+", None,
+                                  {"ID": ["%s.e%d" % (iid, p)],
+                                   "Parent": [iid]}))
+    gff = str(tmp_path / "s.gff")
+    write_gff(recs, gff)
+    rng = np.random.default_rng(3)
+    _, pos, cig = simulate_reads(g, [0.6, 0.4], 400, 30, rng)
+    reads = [AlignedRead("r%d" % i, 0, chrom, int(pos[i]) - 1, 255,
+                         cig[i], 30) for i in range(len(pos))]
+    reads.sort(key=lambda r: r.pos)
+    bam = str(tmp_path / "s.bam")
+    write_bam(bam, [chrom], [5000], reads)
+    idx = str(tmp_path / "idx")
+    assert index_main(["--index", gff, idx]) == 0
+    settings = tmp_path / "s.txt"
+    settings.write_text(FAST_SETTINGS)
+    out = str(tmp_path / "out")
+    assert miso_main(["--run", idx, bam, "--output-dir", out,
+                      "--read-len", "30", "--settings-filename",
+                      str(settings), "--pack-output"]) == 0
+    obj = MISOSamples(out)
+    data = obj.get_event_samples("sc1")
+    assert data is not None and data.samples.shape[1] == 2
+
+
+def test_conflicting_output_flags(tmp_path):
+    from miso_tpu.pipeline import RunConfig, compute_all_genes_psi
+
+    with pytest.raises(ValueError, match="conflict"):
+        compute_all_genes_psi(
+            "/nonexistent", "/nonexistent", 36, str(tmp_path / "o"),
+            cfg=RunConfig(read_len=36, summary_only=True,
+                          pack_output=True))
