@@ -264,9 +264,34 @@ def compile_paired_end_many(
         exon_starts = tables["exon_starts"]
         exon_ends = tables["exon_ends"]
         exon_idx_flat = tables["exon_idx"]
+        iso_ofs = np.zeros(n + 1, np.int64)
+        np.cumsum(noiso_arr, out=iso_ofs[1:])
+        take = (np.arange(iso_ofs[-1])
+                - np.repeat(iso_ofs[:-1], noiso_arr)
+                + np.repeat(tables["iso_ofs"][rows], noiso_arr))
+        isolen_all = tables["iso_lengths"][take]
+        nox_all = tables["iso_num_exons"][take]
     else:
         (spans, exon_starts, exon_ends, exon_idx_flat, eidx_ofs,
          noiso_arr) = _flat_exon_tables(genes)
+        iso_ofs = np.zeros(n + 1, np.int64)
+        np.cumsum(noiso_arr, out=iso_ofs[1:])
+        isolen_all = np.concatenate([g.iso_lengths for g in genes])
+        nox_all = np.concatenate([g.iso_num_exons_all for g in genes])
+    # fragment-length score tables for the WHOLE chromosome in one
+    # vectorized pass (the per-gene (il, noiso) log/where chain cost a
+    # measurable slice of paired compile; semantics:
+    # miso_paired.c:403-419 isoscores / assscores)
+    il = len(frag_prob)
+    jj = np.arange(il)[:, None]
+    lp_all = (isolen_all[None, :] - frag_start - jj + 1
+              - 2 * (nox_all[None, :] - 1) * (overhang - 1))
+    with np.errstate(divide="ignore", invalid="ignore"):
+        isoscores_all = np.where(
+            lp_all > 0, -np.log(np.maximum(lp_all, 1e-300)), NEG_INF
+        ) + np.log(frag_prob[:, None])
+        assscores_all = np.log(np.sum(np.where(lp_all > 0, lp_all, 0),
+                                      axis=0))
     los = spans[:, 0] - 1   # 0-based region start
     his = spans[:, 1]
     i0 = np.searchsorted(scan.pmin, los - scan.max_span + 1, "left")
@@ -300,9 +325,11 @@ def compile_paired_end_many(
             continue
         classes = ReadClasses(templates=match, counts=counts[c0:c1],
                               frag_len=fl)
+        o0, o1 = int(iso_ofs[g]), int(iso_ofs[g + 1])
         out.append(_paired_event_from_classes(
             gene, classes, True, npr, read_len, overhang, frag_prob,
-            frag_start, None, names[g]))
+            frag_start, None, names[g],
+            scores=(isoscores_all[:, o0:o1], assscores_all[o0:o1])))
     return out
 
 
@@ -502,23 +529,32 @@ def _paired_event_from_classes(
     frag_start: int,
     hyper: Optional[np.ndarray],
     name: str,
+    scores=None,
 ) -> CompiledEvent:
-    """Everything in compile_paired_end after read-class collapse."""
+    """Everything in compile_paired_end after read-class collapse.
+    `scores` = precomputed (isoscores, assscores) (the batch compiler
+    vectorizes them across a whole chromosome's genes)."""
     noiso = gene.num_isoforms
     il = len(frag_prob)
-    isolen = gene.iso_lengths
-    nox = gene.iso_num_exons_all
-    # lp[j, i] = isolen_i - fragStart - j + 1 - 2*(nox_i-1)*(overhang-1)
-    j = np.arange(il)[:, None]
-    lp = isolen[None, :] - frag_start - j + 1 - 2 * (nox[None, :] - 1) * (overhang - 1)
-    with np.errstate(divide="ignore", invalid="ignore"):
-        # per-(fragLen, iso) read score. The reference adds the linear
-        # fragment probability (miso_paired.c:403-411); we use the correct
-        # log probability -- see sampler/model.py module docstring.
-        isoscores = np.where(
-            lp > 0, -np.log(np.maximum(lp, 1e-300)), NEG_INF
-        ) + np.log(frag_prob[:, None])
-        assscores = np.log(np.sum(np.where(lp > 0, lp, 0), axis=0))
+    if scores is not None:
+        isoscores, assscores = scores
+    else:
+        isolen = gene.iso_lengths
+        nox = gene.iso_num_exons_all
+        # lp[j, i] = isolen_i - fragStart - j + 1
+        #            - 2*(nox_i-1)*(overhang-1)
+        j = np.arange(il)[:, None]
+        lp = (isolen[None, :] - frag_start - j + 1
+              - 2 * (nox[None, :] - 1) * (overhang - 1))
+        with np.errstate(divide="ignore", invalid="ignore"):
+            # per-(fragLen, iso) read score. The reference adds the
+            # linear fragment probability (miso_paired.c:403-411); we
+            # use the correct log probability -- see sampler/model.py
+            # module docstring.
+            isoscores = np.where(
+                lp > 0, -np.log(np.maximum(lp, 1e-300)), NEG_INF
+            ) + np.log(frag_prob[:, None])
+            assscores = np.log(np.sum(np.where(lp > 0, lp, 0), axis=0))
 
     templates = classes.templates.T  # (C, I) fragment-length probabilities
     fl = classes.frag_len.T          # (C, I)
