@@ -264,20 +264,22 @@ def compile_paired_end_many(
         exon_starts = tables["exon_starts"]
         exon_ends = tables["exon_ends"]
         exon_idx_flat = tables["exon_idx"]
-        iso_ofs = np.zeros(n + 1, np.int64)
-        np.cumsum(noiso_arr, out=iso_ofs[1:])
-        take = (np.arange(iso_ofs[-1])
-                - np.repeat(iso_ofs[:-1], noiso_arr)
-                + np.repeat(tables["iso_ofs"][rows], noiso_arr))
-        isolen_all = tables["iso_lengths"][take]
-        nox_all = tables["iso_num_exons"][take]
     else:
         (spans, exon_starts, exon_ends, exon_idx_flat, eidx_ofs,
          noiso_arr) = _flat_exon_tables(genes)
-        iso_ofs = np.zeros(n + 1, np.int64)
-        np.cumsum(noiso_arr, out=iso_ofs[1:])
-        isolen_all = np.concatenate([g.iso_lengths for g in genes])
-        nox_all = np.concatenate([g.iso_num_exons_all for g in genes])
+    los = spans[:, 0] - 1   # 0-based region start
+    his = spans[:, 1]
+    i0 = np.searchsorted(scan.pmin, los - scan.max_span + 1, "left")
+    i1 = np.searchsorted(scan.pmin, his, "left")
+    hit = native.match_classes_paired_multi(
+        i0, i1, los, his, scan.p1, scan.e1, scan.p2, scan.e2,
+        scan.cigar_buf, scan.co1, scan.co2,
+        exon_starts, exon_ends, exon_idx_flat, eidx_ofs, noiso_arr,
+        read_len, overhang, frag_prob, frag_start, pos_offset=1)
+    if hit is None:
+        return None
+    iso_ofs, isolen_all, nox_all = _gather_iso_tables(
+        tables, rows, noiso_arr, genes, n)
     # fragment-length score tables for the WHOLE chromosome in one
     # vectorized pass (the per-gene (il, noiso) log/where chain cost a
     # measurable slice of paired compile; semantics:
@@ -292,17 +294,6 @@ def compile_paired_end_many(
         ) + np.log(frag_prob[:, None])
         assscores_all = np.log(np.sum(np.where(lp_all > 0, lp_all, 0),
                                       axis=0))
-    los = spans[:, 0] - 1   # 0-based region start
-    his = spans[:, 1]
-    i0 = np.searchsorted(scan.pmin, los - scan.max_span + 1, "left")
-    i1 = np.searchsorted(scan.pmin, his, "left")
-    hit = native.match_classes_paired_multi(
-        i0, i1, los, his, scan.p1, scan.e1, scan.p2, scan.e2,
-        scan.cigar_buf, scan.co1, scan.co2,
-        exon_starts, exon_ends, exon_idx_flat, eidx_ofs, noiso_arr,
-        read_len, overhang, frag_prob, frag_start, pos_offset=1)
-    if hit is None:
-        return None
     fl_flat, match_flat, counts, class_ofs, npairs = hit
     n_cls = class_ofs[1:] - class_ofs[:-1]
     entry_ofs = np.zeros(n + 1, np.int64)
@@ -331,6 +322,25 @@ def compile_paired_end_many(
             frag_start, None, names[g],
             scores=(isoscores_all[:, o0:o1], assscores_all[o0:o1])))
     return out
+
+
+def _gather_iso_tables(tables, rows, noiso_arr, genes, n: int):
+    """(iso_ofs, isolen_all, nox_all) for a batch of genes: the fully
+    vectorized per-isoform gather from the index's compile tables, with
+    the per-gene concatenate fallback -- shared by the single-end and
+    paired batch compilers."""
+    iso_ofs = np.zeros(n + 1, np.int64)
+    np.cumsum(noiso_arr, out=iso_ofs[1:])
+    if tables is not None and rows is not None:
+        rows = np.asarray(rows, np.int64)
+        take = (np.arange(iso_ofs[-1])
+                - np.repeat(iso_ofs[:-1], noiso_arr)
+                + np.repeat(tables["iso_ofs"][rows], noiso_arr))
+        return (iso_ofs, tables["iso_lengths"][take],
+                tables["iso_num_exons"][take])
+    return (iso_ofs,
+            np.concatenate([g.iso_lengths for g in genes]),
+            np.concatenate([g.iso_num_exons_all for g in genes]))
 
 
 _ONES_RO: dict = {}
@@ -392,22 +402,11 @@ def compile_single_end_many(
         exon_starts = tables["exon_starts"]
         exon_ends = tables["exon_ends"]
         exon_idx_flat = tables["exon_idx"]
-        # per-isoform gather (iso_lengths / num_exons) for the selected
-        # genes, fully vectorized
-        iso_ofs = np.zeros(n + 1, np.int64)
-        np.cumsum(noiso_arr, out=iso_ofs[1:])
-        take = (np.arange(iso_ofs[-1])
-                - np.repeat(iso_ofs[:-1], noiso_arr)
-                + np.repeat(tables["iso_ofs"][rows], noiso_arr))
-        isolen_all = tables["iso_lengths"][take]
-        nox_all = tables["iso_num_exons"][take]
     else:
         (spans, exon_starts, exon_ends, exon_idx_flat, eidx_ofs,
          noiso_arr) = _flat_exon_tables(genes)
-        iso_ofs = np.zeros(n + 1, np.int64)
-        np.cumsum(noiso_arr, out=iso_ofs[1:])
-        isolen_all = np.concatenate([g.iso_lengths for g in genes])
-        nox_all = np.concatenate([g.iso_num_exons_all for g in genes])
+    iso_ofs, isolen_all, nox_all = _gather_iso_tables(
+        tables, rows, noiso_arr, genes, n)
     los = spans[:, 0] - 1   # 0-based region start (pipeline fetches lo-1)
     his = spans[:, 1]       # half-open end
     i0 = np.searchsorted(scan.pos, los - scan.max_span + 1, "left")

@@ -954,6 +954,9 @@ class _CompileStream:
         # scale with threads (region fetches release the GIL)
         self.workers = max(1, workers)
         self.skipped = 0
+        # resume skips only (existing outputs), distinct from rule
+        # skips: gates the summary backfill
+        self.resume_skipped = 0
         # set by the consumer on its error path: the producer stops at
         # the next gene/subgroup instead of compiling the rest of the
         # catalog into a drain loop
@@ -1152,6 +1155,7 @@ class _CompileStream:
                     print("Output filename %s exists, not running MISO."
                           % out_path)
                 self.skipped += 1
+                self.resume_skipped += 1
                 continue
             todo.append((gene, out_name, gene_id))
         if not todo:
@@ -1484,16 +1488,18 @@ def compute_all_genes_psi(
     write_pool.shutdown()
     if packer is not None:
         packer.finish()
-    if summary_rows:
+    if summary_rows or stream.resume_skipped:
         from miso_tpu.io.miso_file import write_summary_file
         label = os.path.basename(os.path.normpath(output_dir))
         summary_filename = os.path.join(output_dir, "summary",
                                         "%s.miso_summary" % label)
-        if stream.skipped and not cfg.summary_only:
+        if stream.resume_skipped and not cfg.summary_only:
             # resumed runs: skipped events never reach the device, and
             # if the prior run died before writing a summary there is
             # no file to merge with -- backfill their rows from the
-            # stored samples so the summary is never silently partial
+            # stored samples so the summary is never silently partial.
+            # (Gated on RESUME skips: rule-skipped genes have no stored
+            # samples and a fresh run should not pay the rescan.)
             from miso_tpu.io.miso_file import (MISOSamples,
                                                summary_row_from_data)
             have = set(summary_rows)
@@ -1507,9 +1513,16 @@ def compute_all_genes_psi(
                 if nm in have:
                     continue
                 data = obj.get_event_samples(nm)
-                if data is not None:
+                if data is None:
+                    continue
+                try:
                     summary_rows[nm] = "\t".join(
                         summary_row_from_data(nm, data))
+                except ValueError:
+                    # e.g. a truncated predecessor file with too few
+                    # samples for the CI: warn, don't fail the run
+                    print("WARNING: cannot summarize resumed event %s "
+                          "(too few samples)" % nm)
         n_summ = write_summary_file(summary_filename, summary_rows)
         if verbose:
             print("Posterior summary (%d events, device-side): %s"

@@ -662,3 +662,31 @@ def test_conflicting_output_flags(tmp_path):
             "/nonexistent", "/nonexistent", 36, str(tmp_path / "o"),
             cfg=RunConfig(read_len=36, summary_only=True,
                           pack_output=True))
+
+
+def test_fully_resumed_run_rebuilds_summary(tmp_path):
+    """A re-run where EVERY event is skip-done (prior run completed but
+    its summary was lost) must still produce a complete summary."""
+    import shutil
+
+    from miso_tpu.cli.index_gff import main as index_main
+    from miso_tpu.cli.main import main as miso_main
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "fix"), num_events=8,
+                                reads_per_event=150, seed=37)
+    settings = tmp_path / "settings.txt"
+    settings.write_text(FAST_SETTINGS)
+    index_dir = str(tmp_path / "index")
+    assert index_main(["--index", fix["gff"], index_dir]) == 0
+    out_dir = str(tmp_path / "out")
+    base = ["--run", index_dir, fix["bam"], "--output-dir", out_dir,
+            "--read-len", str(fix["read_len"]),
+            "--settings-filename", str(settings)]
+    assert miso_main(base) == 0
+    summary = os.path.join(out_dir, "summary", "out.miso_summary")
+    full = sorted(open(summary).read().splitlines())
+    shutil.rmtree(os.path.dirname(summary))
+    assert miso_main(base) == 0  # everything skip-done
+    rebuilt = sorted(open(summary).read().splitlines())
+    assert rebuilt == full  # byte-identical backfill from the samples
