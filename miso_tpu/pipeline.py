@@ -1491,6 +1491,11 @@ def compute_all_genes_psi(
     if summary_rows or stream.resume_skipped:
         from miso_tpu.io.miso_file import write_summary_file
         label = os.path.basename(os.path.normpath(output_dir))
+        if jax.process_count() > 1:
+            # multi-host runs share output_dir: per-host summary files
+            # (concurrent read-merge-writes of one file would race and
+            # drop rows; concatenate or summarize_miso to merge)
+            label = "%s.host%d" % (label, jax.process_index())
         summary_filename = os.path.join(output_dir, "summary",
                                         "%s.miso_summary" % label)
         if stream.resume_skipped and not cfg.summary_only:
