@@ -259,6 +259,15 @@ def main():
         record["e2e_events_per_s_median"] = median
     except Exception as e:  # never let the e2e leg kill the record
         record["e2e_error"] = "%s: %s" % (type(e).__name__, str(e)[:120])
+    # the TPU-first output path: BAM -> .miso_summary with posterior
+    # means/CIs computed on device (KBs of readback, no sample files)
+    try:
+        best, median = _best_median(run_e2e(10000, summary_only=True))
+        record["e2e_summary_events_per_s"] = best
+        record["e2e_summary_events_per_s_median"] = median
+    except Exception as e:
+        record["e2e_summary_error"] = "%s: %s" % (type(e).__name__,
+                                                  str(e)[:120])
     print(json.dumps(record))
 
 
