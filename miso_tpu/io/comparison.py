@@ -59,10 +59,14 @@ def output_samples_comparison(
 
     num_compared = 0
     names = sample1_obj.all_event_names
-    CHUNK = 512
+    # 256-event chunks + one loader per core measured fastest on a
+    # 2-core host (finer chunks pipeline loads/stats better; extra
+    # workers thrash)
+    CHUNK = 256
+    workers = max(2, min(4, os.cpu_count() or 4))
     chunks = [names[lo:lo + CHUNK] for lo in range(0, len(names), CHUNK)]
     with open(output_filename, "w") as out, \
-            ThreadPoolExecutor(max_workers=4) as pool:
+            ThreadPoolExecutor(max_workers=workers) as pool:
         out.write("\t".join(BF_HEADER_FIELDS) + "\n")
 
         def submit(sub):
