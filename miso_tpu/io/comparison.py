@@ -69,11 +69,20 @@ def output_samples_comparison(
             ThreadPoolExecutor(max_workers=workers) as pool:
         out.write("\t".join(BF_HEADER_FIELDS) + "\n")
 
+        B = 32  # events per load future (per-event futures cost ~80us
+        #         of executor overhead each at catalog scale)
+
+        def load_batch(obj, sub):
+            return [obj.get_event_samples(nm) for nm in sub]
+
         def submit(sub):
-            return ([pool.submit(sample1_obj.get_event_samples, nm)
-                     for nm in sub],
-                    [pool.submit(sample2_obj.get_event_samples, nm)
-                     for nm in sub])
+            fs = []
+            for lo in range(0, len(sub), B):
+                fs.append(pool.submit(load_batch, sample1_obj,
+                                      sub[lo:lo + B]))
+                fs.append(pool.submit(load_batch, sample2_obj,
+                                      sub[lo:lo + B]))
+            return fs
 
         # double-buffered: chunk k+1's file loads (GIL-released native
         # parse on the pool) overlap chunk k's batch statistics (numpy
@@ -83,8 +92,9 @@ def output_samples_comparison(
             cur = pending
             pending = submit(chunks[i + 1]) if i + 1 < len(chunks) \
                 else None
-            s1s = [f.result() for f in cur[0]]
-            s2s = [f.result() for f in cur[1]]
+            res = [f.result() for f in cur]
+            s1s = [x for j in range(0, len(res), 2) for x in res[j]]
+            s2s = [x for j in range(1, len(res), 2) for x in res[j]]
             for fields in _comparison_rows(sub, s1s, s2s, alpha):
                 num_compared += 1
                 out.write("\t".join(fields) + "\n")
