@@ -542,9 +542,8 @@ def summarize_sampler_results(samples_dir: str, summary_filename: str,
     # GIL (native/parselib.cpp), so catalog-scale summaries use real
     # cores for the file parse
     names = samples_obj.all_event_names
-    workers = max(2, min(4, os.cpu_count() or 4))
     with open(summary_filename, "w") as out, \
-            ThreadPoolExecutor(max_workers=workers) as pool:
+            ThreadPoolExecutor(max_workers=4) as pool:
         out.write("\t".join(SUMMARY_HEADER_FIELDS) + "\n")
         for lo in range(0, len(names), 512):
             sub = names[lo:lo + 512]
