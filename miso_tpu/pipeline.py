@@ -955,8 +955,11 @@ class _CompileStream:
         self.workers = max(1, workers)
         self.skipped = 0
         # resume skips only (existing outputs), distinct from rule
-        # skips: gates the summary backfill
+        # skips: gates (and scopes) the summary backfill -- on shared
+        # multi-host output trees only THIS host's skipped events may
+        # be backfilled, or per-host summaries would overlap
         self.resume_skipped = 0
+        self.resume_skipped_names: list = []
         # set by the consumer on its error path: the producer stops at
         # the next gene/subgroup instead of compiling the rest of the
         # catalog into a drain loop
@@ -1156,6 +1159,7 @@ class _CompileStream:
                           % out_path)
                 self.skipped += 1
                 self.resume_skipped += 1
+                self.resume_skipped_names.append(out_name)
                 continue
             todo.append((gene, out_name, gene_id))
         if not todo:
@@ -1514,8 +1518,8 @@ def compute_all_genes_psi(
                     have.update(line.split("\t", 1)[0]
                                 for line in f if line.strip())
             obj = MISOSamples(output_dir)
-            for nm in obj.all_event_names:
-                if nm in have:
+            for nm in stream.resume_skipped_names:
+                if nm in have or nm not in obj.event_names_to_fnames:
                     continue
                 data = obj.get_event_samples(nm)
                 if data is None:

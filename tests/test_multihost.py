@@ -127,6 +127,20 @@ def test_two_process_run_merges_to_one_tree(catalog):
     errs = [abs(means[g] - truth[g]) for g in truth]
     assert np.mean(errs) < 0.06, (means, truth)
 
+    # each host wrote its OWN run summary (per-host filenames; a shared
+    # file's read-merge-write would race); together they cover the
+    # catalog exactly once
+    sfiles = glob.glob(os.path.join(out, "summary",
+                                    "*.host*.miso_summary"))
+    assert len(sfiles) == 2, sfiles
+    names = []
+    for f in sfiles:
+        with open(f) as fh:
+            next(fh)
+            names.extend(line.split("\t", 1)[0] for line in fh
+                         if line.strip())
+    assert sorted(names) == sorted("ev%d" % e for e in range(N_EVENTS))
+
 
 def test_single_host_without_flags_is_unchanged(catalog):
     """No coordinator flags -> no distributed init, whole catalog on one
@@ -161,19 +175,3 @@ def test_no_native_fallback_run(catalog):
     files = glob.glob(os.path.join(out, "chr*", "*.miso"))
     assert len(files) == N_EVENTS
 
-
-def test_two_process_run_summaries_cover_catalog(catalog):
-    """Each host writes its OWN run summary (per-host filenames; a
-    shared file's read-merge-write would race); together they cover the
-    whole catalog exactly once."""
-    out = str(catalog["root"] / "out_multi")
-    files = glob.glob(os.path.join(out, "summary",
-                                   "*.host*.miso_summary"))
-    assert len(files) == 2, files
-    names = []
-    for f in files:
-        with open(f) as fh:
-            next(fh)
-            names.extend(line.split("\t", 1)[0] for line in fh
-                         if line.strip())
-    assert sorted(names) == sorted("ev%d" % e for e in range(N_EVENTS))
