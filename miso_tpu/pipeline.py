@@ -1096,10 +1096,19 @@ class _CompileStream:
                            for i, c in enumerate(chrom_seq[:-1])}
 
         try:
-            for d, group in groups:
+            # pickle loads for group k+1 prefetch on the pool while
+            # group k compiles (the per-chromosome batch unpickle is a
+            # measurable slice of the 50k compile wall)
+            entry_fut = (self.prefetcher.submit(self._entries, *groups[0])
+                         if groups else None)
+            for idx, (d, group) in enumerate(groups):
                 if self.stop:
                     break
-                self._run_group(d, group)
+                entries = entry_fut.result()
+                entry_fut = (self.prefetcher.submit(
+                    self._entries, *groups[idx + 1])
+                    if idx + 1 < len(groups) else None)
+                self._run_group(d, group, entries)
         finally:
             # cancel any unconsumed prefetch (e.g. every output of its
             # chromosome already existed) so a whole-chromosome scan
@@ -1122,7 +1131,7 @@ class _CompileStream:
             out.append((gene_id, entry))
         return out
 
-    def _run_group(self, d: str, group) -> None:
+    def _run_group(self, d: str, group, entries=None) -> None:
         cfg = self.cfg
         # resolve genes + output names; apply the resume skip rule.
         # One listdir per output chromosome dir instead of an isfile
@@ -1143,7 +1152,9 @@ class _CompileStream:
             return s
 
         todo: List[Tuple[Gene, str, str]] = []
-        for gene_id, entry in self._entries(d, group):
+        if entries is None:
+            entries = self._entries(d, group)
+        for gene_id, entry in entries:
             gene: Gene = entry["gene_object"]
             # --compress-id indexes name outputs by the hashed ID
             # (index_gff.py:80-99; summarize/compare map back via
