@@ -254,7 +254,9 @@ def main():
     # on a cached 10k-gene catalog (host ingest + streamed compile +
     # device sampling + quantized readback + file writes)
     try:
-        best, median = _best_median(run_e2e(10000))
+        # best-of-3: run-to-run spread through the shared tunnel is
+        # real (docs/VALIDATION.md); 3 samples make the best honest
+        best, median = _best_median(run_e2e(10000, timed_runs=3))
         record["e2e_events_per_s"] = best
         record["e2e_events_per_s_median"] = median
     except Exception as e:  # never let the e2e leg kill the record
@@ -262,7 +264,8 @@ def main():
     # the TPU-first output path: BAM -> .miso_summary with posterior
     # means/CIs computed on device (KBs of readback, no sample files)
     try:
-        best, median = _best_median(run_e2e(10000, summary_only=True))
+        best, median = _best_median(run_e2e(10000, summary_only=True,
+                                            timed_runs=3))
         record["e2e_summary_events_per_s"] = best
         record["e2e_summary_events_per_s_median"] = median
     except Exception as e:
