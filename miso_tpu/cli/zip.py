@@ -14,8 +14,12 @@ def zip_dir(dir_to_zip: str, output_filename: str) -> None:
     from miso_tpu.cli.pack import pack_dir
     pack_dir(dir_to_zip)  # pack raw dirs into .miso_db first
     base = os.path.dirname(os.path.normpath(dir_to_zip))
+    # compresslevel 1: ~3-4x faster archiving of multi-GB catalog trees
+    # for a few percent larger (still standard, universally readable)
+    # zip; the reference used the default level (misopy/miso_zip.py:25)
     with zipfile.ZipFile(output_filename, "w",
-                         compression=zipfile.ZIP_DEFLATED) as zf:
+                         compression=zipfile.ZIP_DEFLATED,
+                         compresslevel=1) as zf:
         for root, _dirs, files in os.walk(dir_to_zip):
             for f in files:
                 full = os.path.join(root, f)
