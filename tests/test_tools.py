@@ -460,3 +460,68 @@ def test_native_parse_samples_matches_python():
         ("\n".join(bad_lines) + "\n").encode()) is None
     # junk token: native refuses
     assert native.parse_samples(b"0.1234,abc\t-1.00\n") is None
+
+
+def test_exon_index_matches_bruteforce():
+    """pe_utils' containment index must agree with a brute-force scan
+    on random (overlapping, nested) exon sets."""
+    import numpy as np
+
+    from miso_tpu.cli.pe_utils import _ExonIndex
+
+    class E:
+        def __init__(self, seqid, start, end, strand="+"):
+            self.seqid, self.start, self.end = seqid, start, end
+            self.strand = strand
+
+    rng = np.random.default_rng(8)
+    exons = []
+    for _ in range(300):
+        s = int(rng.integers(1, 5000))
+        e = s + int(rng.integers(20, 400))
+        exons.append(E("chrT", s, e))
+    idx = _ExonIndex(exons)
+    for _ in range(500):
+        qs = int(rng.integers(0, 5200))
+        qe = qs + int(rng.integers(1, 450))
+        brute = sorted(
+            "%s:%d-%d:%s" % (x.seqid, x.start, x.end, x.strand)
+            for x in exons
+            if x.start - 1 <= qs and qe <= x.end - 1)
+        assert sorted(idx.find(qs, qe)) == brute, (qs, qe)
+
+
+def test_rpkm_scan_path_matches_fallback(tmp_path):
+    """The chromosome-scan RPKM counting must be byte-identical to the
+    per-read fallback path."""
+    import shutil
+
+    import miso_tpu.cli.rpkm as R
+    import miso_tpu.io.sam as S
+    from miso_tpu.testing import build_catalog_fixture
+
+    fix = build_catalog_fixture(str(tmp_path / "fix"), num_events=40,
+                                reads_per_event=120, seed=44)
+    fast = R.compute_rpkm(fix["gff"], fix["bam"], fix["read_len"],
+                          str(tmp_path / "fast"))
+
+    class Shim:
+        def __init__(self, inner):
+            self._i = inner
+
+        def __getattr__(self, k):
+            if k == "scan_chrom_columnar":
+                raise AttributeError(k)
+            return getattr(self._i, k)
+
+        def __iter__(self):
+            return iter(self._i)
+
+    real = S.open_alignments
+    S.open_alignments = lambda p: Shim(real(p))
+    try:
+        slow = R.compute_rpkm(fix["gff"], fix["bam"], fix["read_len"],
+                              str(tmp_path / "slow"))
+    finally:
+        S.open_alignments = real
+    assert open(fast).read() == open(slow).read()
